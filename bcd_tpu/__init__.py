@@ -38,3 +38,13 @@ __all__ = [
     "PrefilteringParameters",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    # lazy re-exports that pull in jax only when actually used
+    if name in ("DenoiserInputs", "DenoiserOutputs", "Denoiser",
+                "MultiscaleDenoiser", "IDenoiser", "denoise_pipeline"):
+        import bcd_tpu.core as core
+
+        return getattr(core, name)
+    raise AttributeError(name)

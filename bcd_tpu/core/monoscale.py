@@ -1,0 +1,434 @@
+"""Monoscale Bayesian collaborative denoiser — the TPU-native engine.
+
+Reference semantics (src/core/Denoiser.cpp + src/core/DenoisingUnit.cpp),
+re-architected for XLA: instead of the reference's sequential per-pixel loop
+with variable-length similar-patch lists, per-thread scratch images and
+order-dependent skip marking, every interior pixel is processed in fixed-
+shape batched form:
+
+1.  For each of the (2b+1)^2 window offsets o, a per-pixel chi^2 histogram
+    distance map between pixel x and x+o (DenoisingUnit.cpp:360-386:
+    bins with h1+h2 <= 1 are skipped), then patch distances via a
+    (2r+1)^2 box filter of the per-pixel numerators and skipped-bin counts
+    (patch distance = summed numerator / total non-skipped bins,
+    DenoisingUnit.cpp:336-358). This replaces the reference's per-pixel
+    CUDA kernel launches (CudaHistogramDistance.cu:214-239) with one
+    batched computation for the whole image.
+2.  The similar set is the fixed-size boolean mask D <= threshold over
+    offsets, restricted to the interior (the reference truncates the
+    search window at a patchRadius border, DeepImage.hpp:112-120, and
+    only denoises interior centers, Denoiser.cpp:136-146).
+3.  Masked patch statistics (27-dim mean, 27x27 covariance with 1/(n-1),
+    block-diagonal noise covariance mean) as batched contractions
+    (DenoisingUnit.cpp:400-419, 500-536).
+4.  Two-step Bayesian MAP filter (DenoisingUnit.cpp:421-453):
+      step 1: clamp eigenvalues of (Cemp - N) at 0, invert (Cc + N) with
+              eigenvalue floor minEigenValue, A1 = I - N (Cc+N)^-1.
+      step 2: the denoised patches are the affine image A1 x_i + b1 of the
+              noisy ones, so their empirical mean equals m and their
+              empirical covariance equals A1 Cemp A1^T in exact arithmetic
+              (the reference recomputes both numerically; we use the closed
+              form — no eigenvalue clamp in step 2, matching
+              DenoisingUnit.cpp:445-446). Then A2 = I - N (A1 Cemp A1^T+N)^-1
+              and every candidate patch is filtered as A2 x_i + N inv2 m.
+5.  Pixels whose similar set is smaller than 3(2r+1)^2+1 fall back to the
+    mean patch over the set, deposited at the main patch location only
+    (DenoisingUnit.cpp:182-191, 455-481). Note that mean patch is exactly
+    the masked mean m.
+6.  Deterministic scatter-add aggregation of every filtered candidate patch
+    at the candidate's location plus an estimate count, finalized as
+    sum/count (DenoisingUnit.cpp:672-693, Denoiser.cpp:434-470). This is
+    bitwise-deterministic and artifact-free, equivalent to the reference's
+    best-quality -m 0 path; the -r/-m order-dependent heuristics exist only
+    to mitigate artifacts of its sequential skipping and are intentionally
+    not reproduced (documented divergence).
+
+The image is processed in fixed-size tiles with a halo of
+(searchWindowRadius + patchRadius) pixels so arbitrarily large frames run
+in bounded memory; tiles are scanned sequentially on one device (the
+parallel layer shards tiles/frames across a mesh).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bcd_tpu.ops.cov3x3 import blockdiag_expand, cov6_to_mat3
+from bcd_tpu.params import DenoiserParameters
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class MonoscaleConfig(NamedTuple):
+    """Static (compile-time) configuration of the engine."""
+
+    patch_radius: int = 1
+    search_radius: int = 6
+    tile: int = 32  # core tile side, in pixels
+
+    @property
+    def halo(self) -> int:
+        return self.patch_radius + self.search_radius
+
+    @property
+    def k(self) -> int:  # patch side
+        return 2 * self.patch_radius + 1
+
+    @property
+    def npx(self) -> int:  # pixels per patch
+        return self.k * self.k
+
+    @property
+    def d(self) -> int:  # color patch dimension
+        return 3 * self.npx
+
+    @property
+    def n_offsets(self) -> int:
+        return (2 * self.search_radius + 1) ** 2
+
+
+def _offsets(cfg: MonoscaleConfig) -> np.ndarray:
+    b = cfg.search_radius
+    dy, dx = np.meshgrid(np.arange(-b, b + 1), np.arange(-b, b + 1), indexing="ij")
+    return np.stack([dy.ravel(), dx.ravel()], axis=1).astype(np.int32)
+
+
+def _self_offset_index(cfg: MonoscaleConfig) -> int:
+    b = cfg.search_radius
+    return (2 * b + 1) * b + b
+
+
+def _patchify(img: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """(H, W, C) -> (H-2r, W-2r, (2r+1)^2 * C): per-pixel patch vectors,
+    patch-pixel-major (line then column), channel innermost — the
+    reference's color patch vector layout (DenoisingUnit.cpp:483-498)."""
+    h, w = img.shape[:2]
+    k = 2 * radius + 1
+    slices = [
+        img[dy : h - 2 * radius + dy, dx : w - 2 * radius + dx]
+        for dy in range(k)
+        for dx in range(k)
+    ]
+    return jnp.concatenate(slices, axis=-1)
+
+
+def _zeros_like_varying(shape, like: jnp.ndarray) -> jnp.ndarray:
+    """Zeros that inherit ``like``'s device-varying type: under shard_map,
+    a plain jnp.zeros is an unvarying (replicated) constant and cannot be a
+    scan carry that gets updated with per-shard data."""
+    return jnp.zeros(shape, like.dtype) + like.reshape(-1)[0] * 0
+
+
+def _box_sum(img: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Valid-mode k x k box sum over the two leading spatial dims."""
+    out = img
+    for axis in (0, 1):
+        n = out.shape[axis]
+        idx = [slice(None)] * out.ndim
+        acc = None
+        for s in range(k):
+            idx[axis] = slice(s, n - k + 1 + s)
+            piece = out[tuple(idx)]
+            acc = piece if acc is None else acc + piece
+        out = acc
+    return out
+
+
+def _distance_masks(cfg, histo_pad, nb_pad, gy, gx, ly, lx, core_h, core_w,
+                    height, width, threshold):
+    """Boolean similar-patch masks for one tile.
+
+    Returns (n_offsets, T, T) float32 masks. Distances follow
+    DenoisingUnit.cpp histogramPatchDistance exactly; candidates outside
+    the *global* interior are rejected (window truncation); the self offset
+    is always selected for valid centers (its distance is identically 0).
+    Centers are additionally restricted to the owned core (ly/lx local tile
+    origin, core_h/core_w owned-slab size) so sharded slabs never denoise
+    centers owned by a neighbor."""
+    t = cfg.tile
+    r, b, h = cfg.patch_radius, cfg.search_radius, cfg.halo
+    offs = jnp.asarray(_offsets(cfg))
+
+    # center-side slabs, (T+2r, T+2r, ...)
+    hist_c = jax.lax.dynamic_slice(
+        histo_pad, (h - r, h - r, 0), (t + 2 * r, t + 2 * r, histo_pad.shape[-1])
+    )
+    nb_c = jax.lax.dynamic_slice(nb_pad, (h - r, h - r), (t + 2 * r, t + 2 * r))
+
+    def one_offset(o):
+        dy, dx = o[0], o[1]
+        hist_n = jax.lax.dynamic_slice(
+            histo_pad,
+            (h - r + dy, h - r + dx, 0),
+            (t + 2 * r, t + 2 * r, histo_pad.shape[-1]),
+        )
+        nb_n = jax.lax.dynamic_slice(
+            nb_pad, (h - r + dy, h - r + dx), (t + 2 * r, t + 2 * r)
+        )
+        hsum = hist_c + hist_n
+        keep = hsum > 1.0  # "TEMPORARY" bin gate, DenoisingUnit.cpp:379
+        diff = nb_n[..., None] * hist_c - nb_c[..., None] * hist_n
+        denom = jnp.where(keep, nb_c[..., None] * nb_n[..., None] * hsum, 1.0)
+        num_px = jnp.sum(jnp.where(keep, diff * diff / denom, 0.0), axis=-1)
+        cnt_px = jnp.sum(keep, axis=-1).astype(jnp.float32)
+        num = _box_sum(num_px, cfg.k)  # (T, T)
+        cnt = _box_sum(cnt_px, cfg.k)
+        dist = jnp.where(cnt > 0, num / jnp.maximum(cnt, 1.0), jnp.inf)
+
+        rows = gy + jnp.arange(t)[:, None] + dy
+        cols = gx + jnp.arange(t)[None, :] + dx
+        in_interior = (
+            (rows >= r) & (rows <= height - 1 - r)
+            & (cols >= r) & (cols <= width - 1 - r)
+        )
+        return (dist <= threshold) & in_interior
+
+    masks = jax.vmap(one_offset)(offs)  # (O, T, T) bool
+
+    rows = gy + jnp.arange(t)[:, None]
+    cols = gx + jnp.arange(t)[None, :]
+    owned = ((ly + jnp.arange(t))[:, None] < core_h) & (
+        (lx + jnp.arange(t))[None, :] < core_w
+    )
+    center_valid = (
+        (rows >= r) & (rows <= height - 1 - r)
+        & (cols >= r) & (cols <= width - 1 - r)
+        & owned
+    )
+    masks = masks.at[_self_offset_index(cfg)].set(center_valid)
+    masks = masks & center_valid[None]
+    return masks.astype(jnp.float32), center_valid
+
+
+def _sym_apply(mats: jnp.ndarray, fn) -> jnp.ndarray:
+    """V diag(fn(lambda)) V^T for a batch of symmetric matrices."""
+    lam, vec = jnp.linalg.eigh(mats)
+    return jnp.einsum(
+        "...ij,...j,...kj->...ik", vec, fn(lam), vec, precision=HIGHEST
+    )
+
+
+def denoise_tile(cfg: MonoscaleConfig, color_pad, nb_pad, histo_pad, pixcov_pad,
+                 gy, gx, ly, lx, core_h, core_w, height, width,
+                 threshold, min_eigen):
+    """Denoise one tile. Inputs are (T+2h, T+2h, C) slabs; returns
+    (out_sum (T+2h, T+2h, 3), count (T+2h, T+2h)) apron-inclusive
+    contributions for global overlap-add."""
+    t, r, b, h = cfg.tile, cfg.patch_radius, cfg.search_radius, cfg.halo
+    npx, d = cfg.npx, cfg.d
+    tp = t + 2 * h
+    offs = jnp.asarray(_offsets(cfg))
+
+    masks, center_valid = _distance_masks(
+        cfg, histo_pad, nb_pad[..., 0], gy, gx, ly, lx, core_h, core_w,
+        height, width, threshold,
+    )  # (O, T, T)
+
+    n = jnp.sum(masks, axis=0)  # (T, T)
+    is_main = (n >= d + 1) & center_valid
+    is_fb = (~is_main) & center_valid
+
+    # candidate patch stacks over the extended core: patchifying the whole
+    # (tp, tp) slab yields (tp-2r)^2 = (t+2b)^2 = E^2 patch vectors whose
+    # index (i, j) is the patch centered at padded coord (r+i, r+j)
+    cp_ext = _patchify(color_pad, r)  # (E, E, d)
+    cv_ext = _patchify(pixcov_pad, r)  # (E, E, npx*6)
+
+    def cand_slice(arr, o):
+        return jax.lax.dynamic_slice(
+            arr, (o[0] + b, o[1] + b, 0), (t, t, arr.shape[-1])
+        )
+
+    C = jax.vmap(partial(cand_slice, cp_ext))(offs)  # (O, T, T, d)
+    CV = jax.vmap(partial(cand_slice, cv_ext))(offs)  # (O, T, T, npx*6)
+
+    mk = masks[..., None]  # (O, T, T, 1)
+    n_safe = jnp.maximum(n, 1.0)
+    csum = jnp.sum(mk * C, axis=0)
+    m = csum / n_safe[..., None]  # (T, T, d) masked mean
+    noise6 = jnp.sum(mk * CV, axis=0).reshape(t, t, npx, 6) / n_safe[..., None, None]
+    noise = cov6_to_mat3(noise6)  # (T, T, npx, 3, 3)
+    noise_dense = blockdiag_expand(noise)  # (T, T, d, d)
+
+    # second moment via batched matmul over the offset axis (MXU work)
+    m2mat = jnp.einsum("otwk,otwl->twkl", mk * C, C, precision=HIGHEST)
+    nm1 = jnp.maximum(n - 1.0, 1.0)[..., None, None]
+    cemp = (m2mat - n[..., None, None] * m[..., :, None] * m[..., None, :]) / nm1
+
+    # step 1 (DenoisingUnit.cpp:421-436)
+    clamped = _sym_apply(cemp - noise_dense, lambda lam: jnp.maximum(lam, 0.0))
+    inv1 = _sym_apply(
+        clamped + noise_dense, lambda lam: 1.0 / jnp.maximum(lam, min_eigen)
+    )
+    n_inv1 = jnp.einsum("twkl,twlj->twkj", noise_dense, inv1, precision=HIGHEST)
+    eye = jnp.eye(d, dtype=color_pad.dtype)
+    a1 = eye - n_inv1
+
+    # step 2 (DenoisingUnit.cpp:438-453), closed form on the affine family
+    cov2 = jnp.einsum(
+        "twkl,twlj,twmj->twkm", a1, cemp, a1, precision=HIGHEST
+    )
+    inv2 = _sym_apply(
+        cov2 + noise_dense, lambda lam: 1.0 / jnp.maximum(lam, min_eigen)
+    )
+    n_inv2 = jnp.einsum("twkl,twlj->twkj", noise_dense, inv2, precision=HIGHEST)
+    a2 = eye - n_inv2
+    b2 = jnp.einsum("twkl,twl->twk", n_inv2, m, precision=HIGHEST)
+
+    # filtered candidate patches for every offset: A2 x + b2
+    x2 = (
+        jnp.einsum("twkl,otwl->otwk", a2, C, precision=HIGHEST) + b2[None]
+    )  # (O, T, T, d)
+
+    main_f = is_main.astype(color_pad.dtype)
+    fb_f = is_fb.astype(color_pad.dtype)
+    field = mk * main_f[None, ..., None] * x2
+    field = field.at[_self_offset_index(cfg)].add(fb_f[..., None] * m)
+    cnt_field = masks * main_f[None]
+    cnt_field = cnt_field.at[_self_offset_index(cfg)].add(fb_f)
+
+    # scatter: accumulate each offset's patch-field at the candidate center,
+    # then fan the d-vector out over the k x k patch footprint
+    def scatter_offset(carry, inp):
+        facc, cacc = carry
+        o, f, cf = inp
+        pos = (h + o[0], h + o[1])
+        cur = jax.lax.dynamic_slice(facc, pos + (0,), (t, t, d))
+        facc = jax.lax.dynamic_update_slice(facc, cur + f, pos + (0,))
+        curc = jax.lax.dynamic_slice(cacc, pos, (t, t))
+        cacc = jax.lax.dynamic_update_slice(cacc, curc + cf, pos)
+        return (facc, cacc), None
+
+    facc0 = _zeros_like_varying((tp, tp, d), color_pad)
+    cacc0 = _zeros_like_varying((tp, tp), color_pad)
+    (facc, cacc), _ = jax.lax.scan(
+        scatter_offset, (facc0, cacc0), (offs, field, cnt_field)
+    )
+
+    # fan out: pixel y receives channel-group q of the candidate at y - q
+    out_sum = jnp.zeros((tp, tp, 3), color_pad.dtype)
+    count = jnp.zeros((tp, tp), color_pad.dtype)
+    for qi, (qy, qx) in enumerate(
+        (qy, qx) for qy in range(-r, r + 1) for qx in range(-r, r + 1)
+    ):
+        shifted = jnp.roll(facc[..., 3 * qi : 3 * qi + 3], (qy, qx), axis=(0, 1))
+        out_sum = out_sum + shifted
+        count = count + jnp.roll(cacc, (qy, qx), axis=(0, 1))
+    # rolls wrap across the apron edge; candidates live in [h-b, h+t+b) and
+    # |q| <= r so writes stay within [h-b-r, h+t+b+r) = [0, tp): no wrap of
+    # real data can occur — the wrapped lanes are zero.
+    return out_sum, count
+
+
+def denoise_accumulate(cfg: MonoscaleConfig, color_p, nb_p, histo_p, cov_p,
+                       threshold, min_eigen,
+                       origin=(0, 0), global_shape=None):
+    """Run the engine over a halo-padded slab and return the *unnormalized*
+    ``(out_sum, count)`` accumulators, apron-inclusive.
+
+    Inputs are (core_h + 2*halo, core_w + 2*halo, C): the owned core plus a
+    halo that carries either zeros (single-device, at image borders) or the
+    neighbor's real pixels (spatially-sharded frames). ``origin`` is the
+    core's top-left corner in global image coordinates, ``global_shape`` the
+    full image size — interior/window-truncation masks are evaluated
+    globally, so sharded slabs produce exactly the contributions of a
+    single-device run. The returned (core_h + 2*halo, core_w + 2*halo[, 3])
+    accumulators hold, in the apron, contributions that belong to
+    neighboring slabs: overlap-add them there before normalizing."""
+    t, h = cfg.tile, cfg.halo
+    core_h, core_w = color_p.shape[0] - 2 * h, color_p.shape[1] - 2 * h
+    g_h, g_w = global_shape if global_shape is not None else (core_h, core_w)
+    row0, col0 = origin
+    ny = math.ceil(core_h / t)
+    nx = math.ceil(core_w / t)
+    hp, wp = ny * t, nx * t
+
+    pixcov_p = cov_p / nb_p  # Denoiser.cpp:357-373
+
+    def pad_to_grid(img, fill=0.0):
+        return jnp.pad(
+            img,
+            ((0, hp - core_h), (0, wp - core_w), (0, 0)),
+            constant_values=fill,
+        )
+
+    color_g = pad_to_grid(color_p)
+    nb_g = pad_to_grid(nb_p, 1.0)  # avoid 0-division in distance denominators
+    histo_g = pad_to_grid(histo_p)
+    pixcov_g = pad_to_grid(pixcov_p)
+
+    tile_origins = jnp.asarray(
+        [(ty * t, tx * t) for ty in range(ny) for tx in range(nx)], dtype=jnp.int32
+    )
+
+    tp = t + 2 * h
+
+    def body(carry, torigin):
+        out_acc, cnt_acc = carry
+        ly, lx = torigin[0], torigin[1]
+        slabs = [
+            jax.lax.dynamic_slice(a, (ly, lx, 0), (tp, tp, a.shape[-1]))
+            for a in (color_g, nb_g, histo_g, pixcov_g)
+        ]
+        out_tile, cnt_tile = denoise_tile(
+            cfg, *slabs, row0 + ly, col0 + lx, ly, lx, core_h, core_w,
+            g_h, g_w, threshold, min_eigen,
+        )
+        cur = jax.lax.dynamic_slice(out_acc, (ly, lx, 0), (tp, tp, 3))
+        out_acc = jax.lax.dynamic_update_slice(out_acc, cur + out_tile, (ly, lx, 0))
+        curc = jax.lax.dynamic_slice(cnt_acc, (ly, lx), (tp, tp))
+        cnt_acc = jax.lax.dynamic_update_slice(cnt_acc, curc + cnt_tile, (ly, lx))
+        return (out_acc, cnt_acc), None
+
+    out0 = _zeros_like_varying((hp + 2 * h, wp + 2 * h, 3), color_p)
+    cnt0 = _zeros_like_varying((hp + 2 * h, wp + 2 * h), color_p)
+    (out_acc, cnt_acc), _ = jax.lax.scan(body, (out0, cnt0), tile_origins)
+
+    return (
+        out_acc[: core_h + 2 * h, : core_w + 2 * h],
+        cnt_acc[: core_h + 2 * h, : core_w + 2 * h],
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _denoise_image(cfg: MonoscaleConfig, color, nb, histo, cov,
+                   threshold, min_eigen):
+    height, width = color.shape[:2]
+    h = cfg.halo
+
+    def pad(img, fill=0.0):
+        return jnp.pad(img, ((h, h), (h, h), (0, 0)), constant_values=fill)
+
+    out_acc, cnt_acc = denoise_accumulate(
+        cfg, pad(color), pad(nb, 1.0), pad(histo), pad(cov),
+        threshold, min_eigen, origin=(0, 0), global_shape=(height, width),
+    )
+    out = out_acc[h : h + height, h : h + width]
+    cnt = cnt_acc[h : h + height, h : h + width]
+    return jnp.where(cnt[..., None] > 0, out / jnp.maximum(cnt, 1.0)[..., None], 0.0)
+
+
+def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
+                      tile: int | None = None):
+    """Denoise one scale. Arrays are (H, W, C) float32 (numpy or jax);
+    returns a jax array (H, W, 3)."""
+    cfg = MonoscaleConfig(
+        patch_radius=params.patch_radius,
+        search_radius=params.search_window_radius,
+        tile=tile or 32,
+    )
+    return _denoise_image(
+        cfg,
+        jnp.asarray(color, jnp.float32),
+        jnp.asarray(nb, jnp.float32),
+        jnp.asarray(histo, jnp.float32),
+        jnp.asarray(cov, jnp.float32),
+        jnp.float32(params.histogram_distance_threshold),
+        jnp.float32(params.min_eigen_value),
+    )

@@ -1,0 +1,129 @@
+"""Spatially-sharded single-frame denoising (sequence-parallel analog).
+
+One frame's columns are sharded across a 1-D mesh axis. Each device owns a
+W/n column slab; before denoising, a halo of ``searchWindowRadius +
+patchRadius`` columns is exchanged with ring neighbors via
+``jax.lax.ppermute`` (ICI traffic only — the stencil is local, so a ring is
+sufficient; no all-to-all needed). After the local accumulate, the output
+*aprons* (contributions each device computed for pixels owned by its
+neighbors — the scatter-add reach is the same halo width) are exchanged
+back and overlap-added, then each device normalizes its owned slab.
+
+This reproduces the single-device result exactly: the engine evaluates its
+interior and window-truncation masks in global coordinates
+(see bcd_tpu.core.monoscale.denoise_accumulate).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bcd_tpu.core.monoscale import MonoscaleConfig, denoise_accumulate
+from bcd_tpu.params import DenoiserParameters
+
+try:  # JAX >= 0.5 exposes shard_map at the top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def _shift_from_left(x, axis_name, n):
+    """Each device receives the array from its left neighbor (device i-1);
+    device 0 receives zeros."""
+    return jax.lax.ppermute(x, axis_name, [(i, i + 1) for i in range(n - 1)])
+
+
+def _shift_from_right(x, axis_name, n):
+    return jax.lax.ppermute(x, axis_name, [(i + 1, i) for i in range(n - 1)])
+
+
+def denoise_monoscale_spatial(
+    color, nb, histo, cov,
+    params: DenoiserParameters,
+    mesh: Mesh,
+    axis: str = "x",
+    tile: Optional[int] = None,
+):
+    """Denoise one frame sharded over ``mesh[axis]`` columns.
+
+    Array shapes: (H, W, C) with W divisible by the axis size. Returns the
+    denoised (H, W, 3) frame with the same sharding."""
+    n = mesh.shape[axis]
+    height, width = color.shape[:2]
+    if width % n:
+        raise ValueError(f"width {width} not divisible by mesh axis size {n}")
+    w_loc = width // n
+    cfg = MonoscaleConfig(
+        patch_radius=params.patch_radius,
+        search_radius=params.search_window_radius,
+        tile=tile or 32,
+    )
+    h = cfg.halo
+    if w_loc < h:
+        raise ValueError(
+            f"local slab width {w_loc} smaller than halo {h}; use fewer "
+            "devices or a smaller search window"
+        )
+    threshold = jnp.float32(params.histogram_distance_threshold)
+    min_eigen = jnp.float32(params.min_eigen_value)
+
+    def shard_fn(color_l, nb_l, histo_l, cov_l):
+        idx = jax.lax.axis_index(axis)
+
+        def with_halo(arr):
+            from_left = _shift_from_left(arr[:, -h:], axis, n)
+            from_right = _shift_from_right(arr[:, :h], axis, n)
+            wide = jnp.concatenate([from_left, arr, from_right], axis=1)
+            return jnp.pad(wide, ((h, h), (0, 0), (0, 0)))
+
+        color_p = with_halo(color_l)
+        histo_p = with_halo(histo_l)
+        cov_p = with_halo(cov_l)
+        nb_p = with_halo(nb_l)
+        # mesh-edge halos arrive as zeros; keep the sample count positive so
+        # distance denominators stay finite (those candidates are masked out
+        # by the global interior test anyway)
+        nb_p = jnp.where(nb_p <= 0, 1.0, nb_p)
+
+        out_acc, cnt_acc = denoise_accumulate(
+            cfg, color_p, nb_p, histo_p, cov_p, threshold, min_eigen,
+            origin=(0, idx * w_loc), global_shape=(height, width),
+        )
+
+        # overlap-add the horizontal aprons back to their owners
+        left_apron = out_acc[:, :h]
+        right_apron = out_acc[:, -h:]
+        left_cnt = cnt_acc[:, :h]
+        right_cnt = cnt_acc[:, -h:]
+        add_from_right = _shift_from_right(left_apron, axis, n)
+        add_from_left = _shift_from_left(right_apron, axis, n)
+        addc_from_right = _shift_from_right(left_cnt, axis, n)
+        addc_from_left = _shift_from_left(right_cnt, axis, n)
+
+        core = out_acc[h : h + height, h : h + w_loc]
+        corec = cnt_acc[h : h + height, h : h + w_loc]
+        core = core.at[:, :h].add(add_from_left[h : h + height])
+        core = core.at[:, -h:].add(add_from_right[h : h + height])
+        corec = corec.at[:, :h].add(addc_from_left[h : h + height])
+        corec = corec.at[:, -h:].add(addc_from_right[h : h + height])
+
+        return jnp.where(
+            corec[..., None] > 0, core / jnp.maximum(corec, 1.0)[..., None], 0.0
+        )
+
+    spec = P(None, axis, None)
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(spec, spec, spec, spec), out_specs=spec,
+    )
+    sharding = NamedSharding(mesh, spec)
+    args = [
+        jax.device_put(jnp.asarray(a, jnp.float32), sharding)
+        for a in (color, nb, histo, cov)
+    ]
+    return jax.jit(fn)(*args)

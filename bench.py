@@ -1,0 +1,137 @@
+"""Benchmark: 1080p 3-scale denoise throughput on the current accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MPix/s", "vs_baseline": N}
+
+``vs_baseline`` is measured against the self-generated CPU baseline
+(native/bcd_cpu.cpp — same algorithm, OpenMP, all host cores), cached in
+BASELINE_CPU.json. The upstream reference publishes no numbers and its
+binary cannot be built here (vendored submodules stripped), so the native
+engine is the good-faith stand-in for "CPU bcd_cli" (see BASELINE.md).
+
+Usage: python bench.py [--small] [--scales N] [--rebaseline]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.join(HERE, "scripts"))
+
+BASELINE_CACHE = os.path.join(HERE, "BASELINE_CPU.json")
+
+
+def make_inputs(height, width, spp=4, seed=0):
+    """Statistics images for a synthetic noisy render (device-accumulated)."""
+    from make_test_scene import render_clean, sample_noisy
+    from bcd_tpu.ops.accumulator import SamplesAccumulator
+    from bcd_tpu.params import HistogramParameters
+
+    clean = render_clean(height, width)
+    acc = SamplesAccumulator(height, width, HistogramParameters())
+    rows_per_block = max(1, (1 << 24) // (width * spp * 3 * 4))
+    for row0 in range(0, height, rows_per_block):
+        rows = min(rows_per_block, height - row0)
+        acc.add_samples(
+            sample_noisy(clean[row0 : row0 + rows], spp, seed + row0), row0=row0
+        )
+    nb, mean, cov, histo = acc.extract_samples_statistics()
+    return (
+        mean.astype(np.float32), nb.astype(np.float32),
+        histo.astype(np.float32), cov.astype(np.float32),
+    )
+
+
+def time_fn(fn, warmup=1, iters=3):
+    for _ in range(warmup):
+        fn()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - t0) / iters
+
+
+def measure_cpu_baseline(color, nb, histo, cov, params, scales):
+    """MPix/s of the native CPU engine on this host (all cores)."""
+    from bcd_tpu.native_ref import denoise_multiscale_cpu
+
+    h, w = color.shape[:2]
+    t = time_fn(
+        lambda: denoise_multiscale_cpu(color, nb, histo, cov, params,
+                                       nb_of_scales=scales),
+        warmup=0, iters=1,
+    )
+    return (h * w / 1e6) / t
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="540p quick run instead of 1080p")
+    ap.add_argument("--scales", type=int, default=3)
+    ap.add_argument("--tile", type=int, default=64)
+    ap.add_argument("--rebaseline", action="store_true",
+                    help="re-measure the CPU baseline even if cached")
+    args = ap.parse_args()
+
+    height, width = (544, 960) if args.small else (1088, 1920)
+    # (1080 rounded to a multiple of 32 keeps the pyramid/tiling simple;
+    # pixel count is within 0.8% of true 1080p)
+
+    import jax
+
+    from bcd_tpu.core.multiscale import denoise_multiscale
+    from bcd_tpu.params import DenoiserParameters
+
+    params = DenoiserParameters()  # b=6, r=1, threshold 1
+    color, nb, histo, cov = make_inputs(height, width)
+
+    backend = jax.devices()[0].platform
+    key = f"{height}x{width}_s{args.scales}"
+
+    # --- CPU baseline (cached)
+    baseline = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            baseline = json.load(f)
+    if args.rebaseline or key not in baseline:
+        print(f"measuring CPU baseline for {key}...", file=sys.stderr)
+        baseline[key] = measure_cpu_baseline(
+            color, nb, histo, cov, params, args.scales
+        )
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(baseline, f, indent=2)
+    cpu_mpix_s = baseline[key]
+
+    # --- accelerator run
+    def run():
+        out = denoise_multiscale(
+            color, nb, histo, cov, params, nb_of_scales=args.scales,
+            tile=args.tile,
+        )
+        out.block_until_ready()
+        return out
+
+    t = time_fn(run, warmup=1, iters=3)
+    mpix_s = (height * width / 1e6) / t
+
+    print(json.dumps({
+        "metric": f"{height}x{width} {args.scales}-scale BCD denoise "
+                  f"throughput on {backend}",
+        "value": round(mpix_s, 3),
+        "unit": "MPix/s",
+        "vs_baseline": round(mpix_s / cpu_mpix_s, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
