@@ -71,6 +71,8 @@ class MonoscaleConfig(NamedTuple):
     patch_radius: int = 1
     search_radius: int = 6
     tile: int = 32  # core tile side, in pixels
+    eigh_impl: str = "jacobi"  # "jacobi" (batched fixed-schedule, TPU-fast)
+    #                            or "lax" (jnp.linalg.eigh)
 
     @property
     def halo(self) -> int:
@@ -206,8 +208,12 @@ def _distance_masks(cfg, histo_pad, nb_pad, gy, gx, ly, lx, core_h, core_w,
     return masks.astype(jnp.float32), center_valid
 
 
-def _sym_apply(mats: jnp.ndarray, fn) -> jnp.ndarray:
+def _sym_apply(mats: jnp.ndarray, fn, impl: str = "jacobi") -> jnp.ndarray:
     """V diag(fn(lambda)) V^T for a batch of symmetric matrices."""
+    if impl == "jacobi":
+        from bcd_tpu.ops.sym_eigh import sym_apply
+
+        return sym_apply(mats, fn)
     lam, vec = jnp.linalg.eigh(mats)
     return jnp.einsum(
         "...ij,...j,...kj->...ik", vec, fn(lam), vec, precision=HIGHEST
@@ -262,9 +268,11 @@ def denoise_tile(cfg: MonoscaleConfig, color_pad, nb_pad, histo_pad, pixcov_pad,
     cemp = (m2mat - n[..., None, None] * m[..., :, None] * m[..., None, :]) / nm1
 
     # step 1 (DenoisingUnit.cpp:421-436)
-    clamped = _sym_apply(cemp - noise_dense, lambda lam: jnp.maximum(lam, 0.0))
+    clamped = _sym_apply(cemp - noise_dense,
+                         lambda lam: jnp.maximum(lam, 0.0), cfg.eigh_impl)
     inv1 = _sym_apply(
-        clamped + noise_dense, lambda lam: 1.0 / jnp.maximum(lam, min_eigen)
+        clamped + noise_dense,
+        lambda lam: 1.0 / jnp.maximum(lam, min_eigen), cfg.eigh_impl,
     )
     n_inv1 = jnp.einsum("twkl,twlj->twkj", noise_dense, inv1, precision=HIGHEST)
     eye = jnp.eye(d, dtype=color_pad.dtype)
@@ -275,7 +283,8 @@ def denoise_tile(cfg: MonoscaleConfig, color_pad, nb_pad, histo_pad, pixcov_pad,
         "twkl,twlj,twmj->twkm", a1, cemp, a1, precision=HIGHEST
     )
     inv2 = _sym_apply(
-        cov2 + noise_dense, lambda lam: 1.0 / jnp.maximum(lam, min_eigen)
+        cov2 + noise_dense,
+        lambda lam: 1.0 / jnp.maximum(lam, min_eigen), cfg.eigh_impl,
     )
     n_inv2 = jnp.einsum("twkl,twlj->twkj", noise_dense, inv2, precision=HIGHEST)
     a2 = eye - n_inv2

@@ -31,65 +31,144 @@
 namespace {
 
 // ---------------------------------------------------------------------------
-// cyclic Jacobi eigensolver for symmetric d x d matrices (values + vectors)
+// symmetric eigensolver: Householder tridiagonalization + implicit-shift QL
+// (the classic O(d^3) dense-symmetric algorithm, cf. Golub & Van Loan ch. 8)
 // ---------------------------------------------------------------------------
-struct JacobiWorkspace {
+struct JacobiWorkspace {  // name kept for the call sites; algorithm is QL
   int d = 0;
-  std::vector<float> a;  // working copy, d*d
-  std::vector<float> v;  // eigenvectors (columns), d*d
+  std::vector<float> v;  // on output: eigenvectors as columns, d*d
   std::vector<float> lam;
+  std::vector<float> e;  // off-diagonal scratch
 
   void init(int dim) {
     d = dim;
-    a.resize(d * d);
     v.resize(d * d);
     lam.resize(d);
+    e.resize(d);
+  }
+
+  // reduce the working copy (in v) to tridiagonal form, accumulating the
+  // orthogonal transform in v; diagonal -> lam, subdiagonal -> e
+  void tridiagonalize() {
+    const int n = d;
+    float* a = v.data();
+    for (int i = n - 1; i >= 1; --i) {
+      int l = i - 1;
+      float h = 0.f, scale = 0.f;
+      if (l > 0) {
+        for (int k = 0; k <= l; ++k) scale += std::fabs(a[i * n + k]);
+        if (scale == 0.f) {
+          e[i] = a[i * n + l];
+        } else {
+          for (int k = 0; k <= l; ++k) {
+            a[i * n + k] /= scale;
+            h += a[i * n + k] * a[i * n + k];
+          }
+          float f = a[i * n + l];
+          float g = (f >= 0.f) ? -std::sqrt(h) : std::sqrt(h);
+          e[i] = scale * g;
+          h -= f * g;
+          a[i * n + l] = f - g;
+          f = 0.f;
+          for (int j = 0; j <= l; ++j) {
+            a[j * n + i] = a[i * n + j] / h;
+            g = 0.f;
+            for (int k = 0; k <= j; ++k) g += a[j * n + k] * a[i * n + k];
+            for (int k = j + 1; k <= l; ++k) g += a[k * n + j] * a[i * n + k];
+            e[j] = g / h;
+            f += e[j] * a[i * n + j];
+          }
+          float hh = f / (h + h);
+          for (int j = 0; j <= l; ++j) {
+            f = a[i * n + j];
+            float g2 = e[j] - hh * f;
+            e[j] = g2;
+            for (int k = 0; k <= j; ++k)
+              a[j * n + k] -= f * e[k] + g2 * a[i * n + k];
+          }
+        }
+      } else {
+        e[i] = a[i * n + l];
+      }
+      lam[i] = h;
+    }
+    lam[0] = 0.f;
+    e[0] = 0.f;
+    for (int i = 0; i < n; ++i) {
+      int l = i - 1;
+      if (lam[i] != 0.f) {
+        for (int j = 0; j <= l; ++j) {
+          float g = 0.f;
+          for (int k = 0; k <= l; ++k) g += a[i * n + k] * a[k * n + j];
+          for (int k = 0; k <= l; ++k) a[k * n + j] -= g * a[k * n + i];
+        }
+      }
+      lam[i] = a[i * n + i];
+      a[i * n + i] = 1.f;
+      for (int j = 0; j <= l; ++j) a[j * n + i] = a[i * n + j] = 0.f;
+    }
+  }
+
+  // implicit-shift QL on the tridiagonal (lam, e), rotating v along
+  void ql_implicit() {
+    const int n = d;
+    float* z = v.data();
+    for (int i = 1; i < n; ++i) e[i - 1] = e[i];
+    e[n - 1] = 0.f;
+    for (int l = 0; l < n; ++l) {
+      int iter = 0;
+      int m;
+      do {
+        for (m = l; m < n - 1; ++m) {
+          float dd = std::fabs(lam[m]) + std::fabs(lam[m + 1]);
+          if (std::fabs(e[m]) <= 1.19e-7f * dd) break;
+        }
+        if (m != l) {
+          if (iter++ == 64) break;  // accept current accuracy
+          float g = (lam[l + 1] - lam[l]) / (2.f * e[l]);
+          float r = std::hypot(g, 1.f);
+          g = lam[m] - lam[l] +
+              e[l] / (g + (g >= 0.f ? std::fabs(r) : -std::fabs(r)));
+          float s = 1.f, c = 1.f, p = 0.f;
+          int i;
+          for (i = m - 1; i >= l; --i) {
+            float f = s * e[i];
+            float b = c * e[i];
+            r = std::hypot(f, g);
+            e[i + 1] = r;
+            if (r == 0.f) {
+              lam[i + 1] -= p;
+              e[m] = 0.f;
+              break;
+            }
+            s = f / r;
+            c = g / r;
+            g = lam[i + 1] - p;
+            r = (lam[i] - g) * s + 2.f * c * b;
+            p = s * r;
+            lam[i + 1] = g + p;
+            g = c * r - b;
+            for (int k = 0; k < n; ++k) {
+              f = z[k * n + i + 1];
+              z[k * n + i + 1] = s * z[k * n + i] + c * f;
+              z[k * n + i] = c * z[k * n + i] - s * f;
+            }
+          }
+          if (r == 0.f && i >= l) continue;
+          lam[l] -= p;
+          e[l] = g;
+          e[m] = 0.f;
+        }
+      } while (m != l);
+    }
   }
 
   // decompose m (d*d symmetric); afterwards lam holds eigenvalues and v the
   // eigenvectors as columns: m = V diag(lam) V^T
   void compute(const float* m) {
-    std::memcpy(a.data(), m, sizeof(float) * d * d);
-    std::fill(v.begin(), v.end(), 0.f);
-    for (int i = 0; i < d; ++i) v[i * d + i] = 1.f;
-
-    const int max_sweeps = 16;
-    for (int sweep = 0; sweep < max_sweeps; ++sweep) {
-      double off = 0.0;
-      for (int p = 0; p < d; ++p)
-        for (int q = p + 1; q < d; ++q) off += double(a[p * d + q]) * a[p * d + q];
-      if (off < 1e-18) break;
-
-      for (int p = 0; p < d; ++p) {
-        for (int q = p + 1; q < d; ++q) {
-          float apq = a[p * d + q];
-          if (std::fabs(apq) < 1e-12f) continue;
-          float app = a[p * d + p], aqq = a[q * d + q];
-          float tau = (aqq - app) / (2.f * apq);
-          float t = (tau >= 0.f ? 1.f : -1.f) /
-                    (std::fabs(tau) + std::sqrt(1.f + tau * tau));
-          float c = 1.f / std::sqrt(1.f + t * t);
-          float s = t * c;
-          // rotate rows/cols p,q of a
-          for (int k = 0; k < d; ++k) {
-            float akp = a[k * d + p], akq = a[k * d + q];
-            a[k * d + p] = c * akp - s * akq;
-            a[k * d + q] = s * akp + c * akq;
-          }
-          for (int k = 0; k < d; ++k) {
-            float apk = a[p * d + k], aqk = a[q * d + k];
-            a[p * d + k] = c * apk - s * aqk;
-            a[q * d + k] = s * apk + c * aqk;
-          }
-          for (int k = 0; k < d; ++k) {
-            float vkp = v[k * d + p], vkq = v[k * d + q];
-            v[k * d + p] = c * vkp - s * vkq;
-            v[k * d + q] = s * vkp + c * vkq;
-          }
-        }
-      }
-    }
-    for (int i = 0; i < d; ++i) lam[i] = a[i * d + i];
+    std::memcpy(v.data(), m, sizeof(float) * d * d);
+    tridiagonalize();
+    ql_implicit();
   }
 };
 
