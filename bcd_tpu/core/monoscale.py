@@ -191,7 +191,7 @@ def _distance_masks(cfg, histo_pad, nb_pad, gy, gx, ly, lx, core_h, core_w,
         )
         return (dist <= threshold) & in_interior
 
-    masks = jax.vmap(one_offset)(offs)  # (O, T, T) bool
+    masks = jax.vmap(one_offset, out_axes=2)(offs)  # (T, T, O) bool
 
     rows = gy + jnp.arange(t)[:, None]
     cols = gx + jnp.arange(t)[None, :]
@@ -203,8 +203,8 @@ def _distance_masks(cfg, histo_pad, nb_pad, gy, gx, ly, lx, core_h, core_w,
         & (cols >= r) & (cols <= width - 1 - r)
         & owned
     )
-    masks = masks.at[_self_offset_index(cfg)].set(center_valid)
-    masks = masks & center_valid[None]
+    masks = masks.at[:, :, _self_offset_index(cfg)].set(center_valid)
+    masks = masks & center_valid[..., None]
     return masks.astype(jnp.float32), center_valid
 
 
@@ -234,9 +234,9 @@ def denoise_tile(cfg: MonoscaleConfig, color_pad, nb_pad, histo_pad, pixcov_pad,
     masks, center_valid = _distance_masks(
         cfg, histo_pad, nb_pad[..., 0], gy, gx, ly, lx, core_h, core_w,
         height, width, threshold,
-    )  # (O, T, T)
+    )  # (T, T, O)
 
-    n = jnp.sum(masks, axis=0)  # (T, T)
+    n = jnp.sum(masks, axis=-1)  # (T, T)
     is_main = (n >= d + 1) & center_valid
     is_fb = (~is_main) & center_valid
 
@@ -251,19 +251,20 @@ def denoise_tile(cfg: MonoscaleConfig, color_pad, nb_pad, histo_pad, pixcov_pad,
             arr, (o[0] + b, o[1] + b, 0), (t, t, arr.shape[-1])
         )
 
-    C = jax.vmap(partial(cand_slice, cp_ext))(offs)  # (O, T, T, d)
-    CV = jax.vmap(partial(cand_slice, cv_ext))(offs)  # (O, T, T, npx*6)
+    # offset axis INNER (T, T, O, C): the moment/filter contractions below
+    # are then clean (T*T)-batched GEMMs over well-laid-out operands
+    C = jax.vmap(partial(cand_slice, cp_ext), out_axes=2)(offs)  # (T,T,O,d)
+    CV = jax.vmap(partial(cand_slice, cv_ext), out_axes=2)(offs)
 
-    mk = masks[..., None]  # (O, T, T, 1)
+    mk = masks[..., None]  # (T, T, O, 1)
     n_safe = jnp.maximum(n, 1.0)
-    csum = jnp.sum(mk * C, axis=0)
-    m = csum / n_safe[..., None]  # (T, T, d) masked mean
-    noise6 = jnp.sum(mk * CV, axis=0).reshape(t, t, npx, 6) / n_safe[..., None, None]
+    m = jnp.sum(mk * C, axis=2) / n_safe[..., None]  # (T, T, d) masked mean
+    noise6 = jnp.sum(mk * CV, axis=2).reshape(t, t, npx, 6) / n_safe[..., None, None]
     noise = cov6_to_mat3(noise6)  # (T, T, npx, 3, 3)
     noise_dense = blockdiag_expand(noise)  # (T, T, d, d)
 
     # second moment via batched matmul over the offset axis (MXU work)
-    m2mat = jnp.einsum("otwk,otwl->twkl", mk * C, C, precision=HIGHEST)
+    m2mat = jnp.einsum("twok,twol->twkl", mk * C, C, precision=HIGHEST)
     nm1 = jnp.maximum(n - 1.0, 1.0)[..., None, None]
     cemp = (m2mat - n[..., None, None] * m[..., :, None] * m[..., None, :]) / nm1
 
@@ -292,33 +293,34 @@ def denoise_tile(cfg: MonoscaleConfig, color_pad, nb_pad, histo_pad, pixcov_pad,
 
     # filtered candidate patches for every offset: A2 x + b2
     x2 = (
-        jnp.einsum("twkl,otwl->otwk", a2, C, precision=HIGHEST) + b2[None]
-    )  # (O, T, T, d)
+        jnp.einsum("twol,twkl->twok", C, a2, precision=HIGHEST)
+        + b2[:, :, None, :]
+    )  # (T, T, O, d)
 
     main_f = is_main.astype(color_pad.dtype)
     fb_f = is_fb.astype(color_pad.dtype)
-    field = mk * main_f[None, ..., None] * x2
-    field = field.at[_self_offset_index(cfg)].add(fb_f[..., None] * m)
-    cnt_field = masks * main_f[None]
-    cnt_field = cnt_field.at[_self_offset_index(cfg)].add(fb_f)
+    field = mk * main_f[..., None, None] * x2
+    self_o = _self_offset_index(cfg)
+    field = field.at[:, :, self_o, :].add(fb_f[..., None] * m)
+    cnt_field = masks * main_f[..., None]
+    cnt_field = cnt_field.at[:, :, self_o].add(fb_f)
 
-    # scatter: accumulate each offset's patch-field at the candidate center,
-    # then fan the d-vector out over the k x k patch footprint
-    def scatter_offset(carry, inp):
-        facc, cacc = carry
-        o, f, cf = inp
-        pos = (h + o[0], h + o[1])
-        cur = jax.lax.dynamic_slice(facc, pos + (0,), (t, t, d))
-        facc = jax.lax.dynamic_update_slice(facc, cur + f, pos + (0,))
-        curc = jax.lax.dynamic_slice(cacc, pos, (t, t))
-        cacc = jax.lax.dynamic_update_slice(cacc, curc + cf, pos)
-        return (facc, cacc), None
-
-    facc0 = _zeros_like_varying((tp, tp, d), color_pad)
-    cacc0 = _zeros_like_varying((tp, tp), color_pad)
-    (facc, cacc), _ = jax.lax.scan(
-        scatter_offset, (facc0, cacc0), (offs, field, cnt_field)
-    )
+    # scatter-add every candidate's patch-field at the candidate center via
+    # one deterministic segment-sum over a static index map (replaces the
+    # reference's sequential per-patch scatter, DenoisingUnit.cpp:672-693)
+    py, px = np.meshgrid(np.arange(t), np.arange(t), indexing="ij")
+    offs_np = _offsets(cfg)
+    seg = (
+        (h + py[:, :, None] + offs_np[None, None, :, 0]) * tp
+        + (h + px[:, :, None] + offs_np[None, None, :, 1])
+    ).reshape(-1)  # (T*T*O,) static
+    seg_ids = jnp.asarray(seg, jnp.int32)
+    facc = jax.ops.segment_sum(
+        field.reshape(-1, d), seg_ids, num_segments=tp * tp
+    ).reshape(tp, tp, d)
+    cacc = jax.ops.segment_sum(
+        cnt_field.reshape(-1), seg_ids, num_segments=tp * tp
+    ).reshape(tp, tp)
 
     # fan out: pixel y receives channel-group q of the candidate at y - q
     out_sum = jnp.zeros((tp, tp, 3), color_pad.dtype)

@@ -65,29 +65,38 @@ def jacobi_eigh(mats: jnp.ndarray, sweeps: int = 10):
     mats: (..., n, n) symmetric float32, n even (pad odd sizes upstream).
     Returns (eigenvalues (..., n) UNSORTED, eigenvectors (..., n, n) with
     eigenvectors as COLUMNS): mats = V diag(lam) V^T.
+
+    TPU layout note: internally the batch lives on the LAST (lane) axis —
+    arrays are (n, n, B) — so every rotation is a full-width vector op; the
+    n x n structural axes map to sublanes. Rotations use static row gathers
+    only (the round-robin schedule is compile-time constant).
     """
     n = mats.shape[-1]
-    rounds_np, partner_np, sgn_np, pidx_np, isp_np = _schedule_vectors(n)
+    rounds_np, partner_np, sgn_np, pidx_np, _ = _schedule_vectors(n)
     rounds = jnp.asarray(rounds_np)  # (R, n/2, 2)
     partners = jnp.asarray(partner_np)  # (R, n)
     sgns = jnp.asarray(sgn_np)
     pidxs = jnp.asarray(pidx_np)
-    isps = jnp.asarray(isp_np)
     n_rounds = rounds_np.shape[0]
 
     batch = mats.shape[:-2]
-    a0 = mats.reshape((-1, n, n)).astype(jnp.float32)
-    v0 = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), a0.shape)
+    bsz = int(np.prod(batch)) if batch else 1
+    # (B, n, n) -> (n, n, B): batch on lanes
+    a0 = jnp.moveaxis(mats.reshape((-1, n, n)).astype(jnp.float32), 0, -1)
+    v0 = jnp.broadcast_to(
+        jnp.eye(n, dtype=jnp.float32)[:, :, None], (n, n, bsz)
+    )
 
     def one_round(carry, r):
-        a, v = carry
-        pairs = rounds[r]  # (n/2, 2)
+        a, v = carry  # (n, n, B)
+        pairs = rounds[r]
         p, q = pairs[:, 0], pairs[:, 1]
-        partner, sgn, pidx, isp = partners[r], sgns[r], pidxs[r], isps[r]
+        partner, sgn, pidx = partners[r], sgns[r], pidxs[r]
 
-        app = a[:, p, p]  # (B, n/2)
-        aqq = a[:, q, q]
-        apq = a[:, p, q]
+        # diagonal/pair entries: (n/2, B)
+        app = a[p, p, :]
+        aqq = a[q, q, :]
+        apq = a[p, q, :]
         # stable rotation (Rutishauser): t = sign(tau)/(|tau|+sqrt(1+tau^2))
         small = jnp.abs(apq) < 1e-30
         denom = jnp.where(small, 1.0, 2.0 * apq)
@@ -98,21 +107,18 @@ def jacobi_eigh(mats: jnp.ndarray, sweeps: int = 10):
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s = t * c
 
-        # per-column coefficients (B, n)
-        c_col = c[:, pidx]  # same c for both pair members
-        s_col = s[:, pidx]
-        mix = sgn[None, :] * s_col  # -s for p-columns, +s for q-columns
+        c_all = c[pidx]  # (n, B): coefficient for structural index k
+        mix = sgn[:, None] * s[pidx]  # -s for p-members, +s for q-members
 
-        def rotate_cols(m):
-            gathered = m[:, :, partner]  # (B, n, n) partner columns
-            return c_col[:, None, :] * m + mix[:, None, :] * gathered
+        def rotate_axis0(m):  # m (n, ..., B); mixes structural rows
+            return c_all.reshape((n,) + (1,) * (m.ndim - 2) + (-1,)) * m + \
+                mix.reshape((n,) + (1,) * (m.ndim - 2) + (-1,)) * m[partner]
 
-        def rotate_rows(m):
-            gathered = m[:, partner, :]
-            return c_col[:, :, None] * m + mix[:, :, None] * gathered
-
-        a = rotate_rows(rotate_cols(a))
-        v = rotate_cols(v)
+        # A <- J^T A J: rotate rows, then columns (axis 1 via transpose)
+        a = rotate_axis0(a)
+        a = jnp.swapaxes(rotate_axis0(jnp.swapaxes(a, 0, 1)), 0, 1)
+        # V <- V J: columns only (V's column axis is axis 1)
+        v = jnp.swapaxes(rotate_axis0(jnp.swapaxes(v, 0, 1)), 0, 1)
         return (a, v), None
 
     def one_sweep(carry, _):
@@ -120,8 +126,11 @@ def jacobi_eigh(mats: jnp.ndarray, sweeps: int = 10):
         return carry, None
 
     (a, v), _ = jax.lax.scan(one_sweep, (a0, v0), None, length=sweeps)
-    lam = jnp.diagonal(a, axis1=-2, axis2=-1)
-    return lam.reshape(batch + (n,)), v.reshape(batch + (n, n))
+    idx = jnp.arange(n)
+    lam = a[idx, idx, :]  # (n, B)
+    lam = jnp.moveaxis(lam, -1, 0).reshape(batch + (n,))
+    vec = jnp.moveaxis(v, -1, 0).reshape(batch + (n, n))
+    return lam, vec
 
 
 def sym_apply(mats: jnp.ndarray, fn, sweeps: int = 10) -> jnp.ndarray:
