@@ -5,25 +5,34 @@ This is the per-pixel hot path of the denoiser (reference DenoisingUnit.cpp
 steps: empiricalCovarianceMatrix + clampNegativeEigenValues +
 inverseSymmetricMatrix + finalDenoisingMatrixMultiplication) fused into one
 VMEM-resident kernel. XLA codegen for millions of tiny (27-dim) per-pixel
-matrices is lane-starved (27 of 128 lanes) and HBM-bound between ops; here
-the PIXEL batch lives on the lane axis — every operation is a full-width
-vector op on (d, d, 128) tiles that never leave VMEM:
+matrices is lane-starved (27 of 128 lanes used) and HBM-bound between ops;
+here the PIXEL batch lives on the lane axis — every op is a full-width
+vector op on (d, d, 128) tiles that never leave VMEM.
 
-- masked second moment      M2 = sum_o mask_o c_o c_o^T        (VPU MACs)
-- empirical covariance      Cemp = (M2 - n m m^T) / (n-1)
-- eigenvalue clamp          via two-sided cyclic Jacobi with the Brent-Luk
-  systolic pairing: matrices live in a "player position" layout where the
-  rotation pairs are ALWAYS (i, i+half) — static slab slices, no gathers —
-  and a fixed 5-slice permutation re-seats players between rounds.
-- floored inversions        as Cholesky of (M + minEigen*I): equivalent to
-  the reference's eigenvalue floor except for eigendirections with
-  lambda ~ minEigen, where the patch deviations are themselves ~sqrt(lambda)
-  (numerically immaterial; validated against the float64 oracle in tests).
-- filter                    field_o = mask_o (A2 c_o + b2), A2 = I - N inv2
+Math pipeline (all per pixel, vectorized over 128 lanes):
+- masked second moment   M2 = sum_o mask_o c_o c_o^T
+- empirical covariance   Cemp = (M2 - n m m^T)/(n-1)
+- eigenvalue clamp of (Cemp - N) via two-sided cyclic Jacobi with the
+  Brent-Luk systolic pairing: matrices live in a "player position" layout
+  where rotation pairs are ALWAYS (i, i+half) — static slab slices, no
+  gathers — and a fixed 5-slice permutation re-seats players per round.
+- floored inversions as Cholesky of (M + minEigen I): equivalent to the
+  reference's eigenvalue floor except in eigendirections with
+  lambda ~ minEigen, where the filtered deviations are themselves
+  O(sqrt(lambda)) (validated immaterial against the float64 oracle).
+  The inverse is assembled as Y^T Y with Y = L^-1 from ONE forward
+  substitution — no back-substitution, and every product in the kernel is
+  a sum of row-outer-products (X^T Y = sum_k rowX_k^T rowY_k), which needs
+  only row slices.
+- filter                 field_o = mask_o (A2 c_o + b2), A2 = I - N inv2
 
-Grid: one step per 128-pixel block. All loops over offsets/rounds are
-fori_loops with static-extent bodies; the Jacobi round uses only static
-slicing and concatenation (Mosaic-friendly).
+Mosaic practicalities that shaped the code (measured on v5e through this
+environment's remote-compile tunnel): 1-D intermediates (``x[k][None]``)
+cost ~35 s of compile time EACH and can crash the compiler; dynamic-index
+reads/writes of VMEM refs and keepdim ``lax.slice_in_dim`` are fast; so
+every loop is a ``fori_loop`` whose body touches scratch REFS with
+``pl.ds`` and produces no rank-1 values, and axis-insertion outer products
+appear only inside loop bodies (compiled once).
 """
 
 from __future__ import annotations
@@ -39,19 +48,6 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _blockdiag_onehots(npx: int) -> np.ndarray:
-    """(6*npx, d, d) constant masks: dense block-diagonal = sum_k E_k * v_k
-    with v ordered per block as xx, yy, zz, yz, xz, xy."""
-    d = 3 * npx
-    out = np.zeros((6 * npx, d, d), np.float32)
-    pairs = [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]
-    for q in range(npx):
-        for ch, (i, j) in enumerate(pairs):
-            out[6 * q + ch, 3 * q + i, 3 * q + j] = 1.0
-            out[6 * q + ch, 3 * q + j, 3 * q + i] = 1.0
-    return out
-
-
 def _perm_slices(dp: int):
     """Brent-Luk re-seating permutation as 5 static slice ranges:
     new = concat(x[0:1], x[h:h+1], x[1:h-1], x[h+1:2h], x[h-1:h])."""
@@ -60,39 +56,44 @@ def _perm_slices(dp: int):
 
 
 def _solve_filter_kernel(c_ref, mask_ref, noise_ref, n_ref, m_ref, eps_ref,
-                         field_ref, *, n_offsets, d, npx, sweeps):
+                         field_ref,
+                         m2_s, a_s, vt_s, lam_s, lt_s, y_s, rhs_s, t2t_s,
+                         work_s, inv_s, bd_s, a1t_s,
+                         *, n_offsets, d, npx, sweeps):
     dp = d + 1 if d % 2 else d  # padded (even) size for the pairing schedule
     half = dp // 2
     P = LANES
+    f32 = jnp.float32
 
-    noise = noise_ref[:]  # (6*npx, P)
     n = n_ref[:]  # (1, P)
     m = m_ref[:]  # (d, P)
     eps = eps_ref[0, 0]
 
-    f32 = jnp.float32
+    # 3-D iota masks (built directly in final rank: no axis inserts)
+    ri3 = jax.lax.broadcasted_iota(jnp.int32, (d, d, 1), 0)
+    ci3 = jax.lax.broadcasted_iota(jnp.int32, (d, d, 1), 1)
+    eye3 = (ri3 == ci3).astype(f32)  # (d, d, 1)
+    ri3p = jax.lax.broadcasted_iota(jnp.int32, (dp, dp, 1), 0)
+    ci3p = jax.lax.broadcasted_iota(jnp.int32, (dp, dp, 1), 1)
+    eye3p = (ri3p == ci3p).astype(f32)
+    sel3p = (ci3p == ri3p + half).astype(f32)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, d, 1), 1)  # (1, d, 1)
 
-    # iota-built structural masks (pallas kernels may not capture array
-    # constants; everything 2-D constant is generated in-kernel)
-    ri_dp = jax.lax.broadcasted_iota(jnp.int32, (dp, dp), 0)
-    ci_dp = jax.lax.broadcasted_iota(jnp.int32, (dp, dp), 1)
-    eye_dp = (ri_dp == ci_dp).astype(f32)
-    sel = (ci_dp == ri_dp + half).astype(f32)
-    ri_d = ri_dp[:d, :d]
-    ci_d = ci_dp[:d, :d]
-    eye_d = (ri_d == ci_d).astype(f32)
+    mask3 = mask_ref[:][:, None, :]  # (O, 1, P), hoisted loop-invariant
 
-    # ---- masked second moment ------------------------------------------
-    # (loops over the offset axis read the VMEM refs with a dynamic index;
-    # Mosaic does not lower dynamic_slice of traced values)
-    def mo(o, acc):
-        c_o = c_ref[pl.ds(o, 1)][0]  # (d, P)
-        w = mask_ref[pl.ds(o, 1)]  # (1, P)
-        return acc + (c_o * w)[:, None, :] * c_o[None, :, :]
+    # ---- masked second moment: row i of M2 = sum_o (w c)[o,i] * c[o,:] ---
+    def m2_row(i, carry):
+        ci = c_ref[:, pl.ds(i, 1)]  # (O, 1, P)
+        row = jnp.sum(ci * mask3 * c_ref[:], axis=0, keepdims=True)
+        m2_s[pl.ds(i, 1)] = row  # (1, d, P)
+        return carry
 
-    m2 = jax.lax.fori_loop(0, n_offsets, mo, jnp.zeros((d, d, P), f32))
-    nm1 = jnp.maximum(n - 1.0, 1.0)
+    jax.lax.fori_loop(0, d, m2_row, 0)
+
+    nm1 = jnp.maximum(n - 1.0, 1.0)  # (1, P)
+    m2 = m2_s[:]
     cemp = (m2 - n[None] * m[:, None, :] * m[None, :, :]) / nm1[None]
+    work_s[:] = cemp  # keep Cemp for step 2
 
     # ---- dense block-diagonal noise -------------------------------------
     pairs = [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]
@@ -100,15 +101,14 @@ def _solve_filter_kernel(c_ref, mask_ref, noise_ref, n_ref, m_ref, eps_ref,
     for q in range(npx):
         for ch, (i, j) in enumerate(pairs):
             a_, b_ = 3 * q + i, 3 * q + j
-            one = ((ri_d == a_) & (ci_d == b_)) | ((ri_d == b_) & (ci_d == a_))
-            bd = bd + one.astype(f32)[:, :, None] * \
-                noise[6 * q + ch][None, None, :]
+            one = ((ri3 == a_) & (ci3 == b_)) | ((ri3 == b_) & (ci3 == a_))
+            nv = noise_ref[pl.ds(6 * q + ch, 1)]  # (1, P)
+            bd = bd + one.astype(f32) * nv[None]
+    bd_s[:] = bd
 
-    s_mat = cemp - bd
-
-    # ---- Jacobi clamp ----------------------------------------------------
-    a = jnp.pad(s_mat, ((0, dp - d), (0, dp - d), (0, 0)))
-    vt = jnp.broadcast_to(eye_dp[:, :, None], (dp, dp, P))
+    # ---- Jacobi clamp of (Cemp - BD) -------------------------------------
+    a0 = jnp.pad(cemp - bd, ((0, dp - d), (0, dp - d), (0, 0)))
+    vt0 = jnp.broadcast_to(eye3p, (dp, dp, P))
     perm = _perm_slices(dp)
 
     def permute0(x):
@@ -119,8 +119,8 @@ def _solve_filter_kernel(c_ref, mask_ref, noise_ref, n_ref, m_ref, eps_ref,
 
     def jacobi_round(_, carry):
         a, vt = carry
-        dall = jnp.sum(a * eye_dp[:, :, None], axis=1)  # (dp, P)
-        apq = jnp.sum(a * sel[:, :, None], axis=1)[:half]  # (half, P)
+        dall = jnp.sum(a * eye3p, axis=1)  # (dp, P)
+        apq = jnp.sum(a * sel3p, axis=1)[:half]  # (half, P)
         app, aqq = dall[:half], dall[half:]
         small = jnp.abs(apq) < 1e-30
         denom = jnp.where(small, 1.0, 2.0 * apq)
@@ -128,7 +128,7 @@ def _solve_filter_kernel(c_ref, mask_ref, noise_ref, n_ref, m_ref, eps_ref,
         t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
         t = jnp.where(tau == 0.0, 1.0, t)
         t = jnp.where(small, 0.0, t)
-        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)  # (half, P)
         s = t * c
 
         def rot_rows(x):
@@ -145,84 +145,95 @@ def _solve_filter_kernel(c_ref, mask_ref, noise_ref, n_ref, m_ref, eps_ref,
         vt = rot_rows(vt)
         return permute1(permute0(a)), permute0(vt)
 
-    a, vt = jax.lax.fori_loop(0, sweeps * (dp - 1), jacobi_round, (a, vt))
+    a_fin, vt_fin = jax.lax.fori_loop(
+        0, sweeps * (dp - 1), jacobi_round, (a0, vt0))
+    vt_s[:] = vt_fin
+    lam_s[:] = jnp.maximum(jnp.sum(a_fin * eye3p, axis=1), 0.0)  # (dp, P)
 
-    lam = jnp.maximum(jnp.sum(a * eye_dp[:, :, None], axis=1), 0.0)  # clamp
+    # clamped = sum_k lam_k vt_k^T vt_k (rows of vt are eigenvectors)
+    def recon(k, acc):
+        row = vt_s[pl.ds(k, 1)]  # (1, dp, P)
+        lk = lam_s[pl.ds(k, 1)]  # (1, P)
+        return acc + jnp.swapaxes(row, 0, 1) * (row * lk[None])
 
-    clamped = jnp.zeros((dp, dp, P), f32)
-    for k in range(dp):  # static unroll: V^T diag(lam) V
-        row = vt[k]  # (dp, P)
-        clamped = clamped + (row * lam[k][None])[:, None, :] * row[None, :, :]
-    clamped = clamped[:d, :d]
+    clamped = jax.lax.fori_loop(
+        0, dp, recon, jnp.zeros((dp, dp, P), f32))[:d, :d]
 
-    row_1d = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)
-
-    # ---- Cholesky + two-sided solves ------------------------------------
-    def chol(mat):
-        """Lower Cholesky of (d, d, P), unrolled right-looking."""
-        work = mat
-        cols = []
-        for j in range(d):
-            diag = work[j, j][None]  # (1, P)
-            inv_p = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
-            col = work[:, j] * inv_p  # (d, P)
-            col = col * (row_1d >= j).astype(f32)
-            work = work - col[:, None, :] * col[None, :, :]
-            cols.append(col)
-        return jnp.stack(cols, axis=1)  # (d, d, P), L[:, j] = cols[j]
-
+    # ---- SPD inverse: chol(M + eps I), Y = L^-1, inv = Y^T Y -------------
     def spd_inverse(mat):
-        """(M + eps I)^-1 via Cholesky and 2x triangular solve, d rhs."""
-        L = chol(mat + eps * eye_d[:, :, None])
-        # forward: L Y = I
-        rhs = jnp.broadcast_to(eye_d[:, :, None], (d, d, P))
-        yrows = []
-        for k in range(d):
-            yk = rhs[k] / L[k, k][None]  # (d, P)
-            rhs = rhs - L[:, k][:, None, :] * yk[None, :, :]
-            yrows.append(yk)
-        y = jnp.stack(yrows, axis=0)
-        # backward: L^T X = Y
-        xrows = [None] * d
-        for k in reversed(range(d)):
-            xk = y[k] / L[k, k][None]
-            y = y - L[k, :][:, None, :] * xk[None, :, :]
-            xrows[k] = xk
-        return jnp.stack(xrows, axis=0)  # (d, d, P)
+        a_s[:] = mat + eps * eye3  # cholesky working matrix (scratch ref)
+        rhs_s[:] = jnp.broadcast_to(eye3, (d, d, P))
 
-    def matmul(x, y):
-        """(d,d,P) @ (d,d,P) lane-parallel."""
-        acc = jnp.zeros((d, d, P), f32)
-        for k in range(d):
-            acc = acc + x[:, k][:, None, :] * y[k][None, :, :]
-        return acc
+        def chol_step(j, carry):
+            rowj = a_s[pl.ds(j, 1)]  # (1, d, P)
+            pivot = jnp.sum(rowj * (col_iota == j).astype(f32), axis=1,
+                            keepdims=True)  # (1, 1, P)
+            invp = jax.lax.rsqrt(jnp.maximum(pivot, 1e-30))
+            colv = rowj * invp * (col_iota >= j).astype(f32)  # (1, d, P)
+            lt_s[pl.ds(j, 1)] = colv  # LT row j = L column j
+            a_s[:] = a_s[:] - jnp.swapaxes(colv, 0, 1) * colv
+            return carry
 
-    # step 1: A1 = I - BD * inv1
-    inv1 = spd_inverse(clamped + bd)
-    a1 = eye_d[:, :, None] - matmul(bd, inv1)
+        # NOTE: the Schur complement stays symmetric, so row j of the
+        # updated matrix IS column j — rows are all we ever read.
+        jax.lax.fori_loop(0, d, chol_step, 0)
+
+        def fwd_step(k, _):
+            ltrow = lt_s[pl.ds(k, 1)]  # (1, d, P): L column k
+            pivot = jnp.sum(ltrow * (col_iota == k).astype(f32), axis=1,
+                            keepdims=True)
+            yk = rhs_s[pl.ds(k, 1)] / pivot  # (1, d, P)
+            y_s[pl.ds(k, 1)] = yk
+            rhs_s[:] = rhs_s[:] - jnp.swapaxes(ltrow, 0, 1) * yk
+            return _
+
+        jax.lax.fori_loop(0, d, fwd_step, 0)
+
+        def yty_step(k, acc):
+            yk = y_s[pl.ds(k, 1)]  # (1, d, P)
+            return acc + jnp.swapaxes(yk, 0, 1) * yk
+
+        return jax.lax.fori_loop(0, d, yty_step, jnp.zeros((d, d, P), f32))
+
+    # every matrix product below is sum_k rowX_k^T rowY_k = X^T Y with X
+    # symmetric, so only row slices of scratch refs are needed
+    def xty(x_ref_like, y_ref_like):
+        def step(k, acc):
+            xr = x_ref_like[pl.ds(k, 1)]
+            yr = y_ref_like[pl.ds(k, 1)]
+            return acc + jnp.swapaxes(xr, 0, 1) * yr
+
+        return jax.lax.fori_loop(0, d, step, jnp.zeros((d, d, P), f32))
+
+    # step 1: inv1 = (clamped + BD + eps I)^-1 ; A1^T = I - inv1 BD
+    inv_s[:] = spd_inverse(clamped + bd)
+    a1t_s[:] = jnp.broadcast_to(eye3, (d, d, P)) - xty(inv_s, bd_s)
+
     # step 2 (closed form): cov2 = A1 Cemp A1^T
-    cov2 = matmul(matmul(a1, cemp), jnp.swapaxes(a1, 0, 1))
-    inv2 = spd_inverse(cov2 + bd)
-    t2 = matmul(bd, inv2)
-    a2 = eye_d[:, :, None] - t2
+    #   H = Cemp A1^T (Cemp symmetric), cov2 = A1 H = (A1^T)^T H
+    m2_s[:] = xty(work_s, a1t_s)  # H (reuse m2 scratch)
+    cov2 = xty(a1t_s, m2_s)
+    inv_s[:] = spd_inverse(cov2 + bd)
+    t2t_s[:] = xty(inv_s, bd_s)  # T2^T = inv2 BD; T2 = BD inv2
 
-    def matvec(x, v):
-        acc = jnp.zeros((d, P), f32)
-        for k in range(d):
-            acc = acc + x[:, k] * v[k][None, :]
-        return acc
+    # b2 = T2 m: b2[i] = sum_k T2T[k, i] m[k]
+    def b2_step(k, acc):
+        t2tk = t2t_s[pl.ds(k, 1)]  # (1, d, P)
+        mk = m_ref[pl.ds(k, 1)]  # (1, P)
+        return acc + t2tk * mk[None]
 
-    b2 = matvec(t2, m)  # (d, P)
+    b2 = jax.lax.fori_loop(0, d, b2_step, jnp.zeros((1, d, P), f32))
 
-    # ---- filter every candidate ------------------------------------------
-    def fo(o, carry):
-        c_o = c_ref[pl.ds(o, 1)][0]  # (d, P)
-        w = mask_ref[pl.ds(o, 1)]  # (1, P)
-        y = (matvec(a2, c_o) + b2) * w
-        field_ref[pl.ds(o, 1)] = y[None]
-        return carry
+    # ---- filter all candidates: field = (C - C T2^T + b2) * mask ---------
+    # tmp[o, i] = sum_k C[o, k] T2T[k, i]  (= sum_k T2[i, k] C[o, k])
+    def filt_step(k, acc):
+        ck = c_ref[:, pl.ds(k, 1)]  # (O, 1, P)
+        t2tk = t2t_s[pl.ds(k, 1)]  # (1, d, P)
+        return acc + ck * t2tk
 
-    jax.lax.fori_loop(0, n_offsets, fo, 0)
+    tmp = jax.lax.fori_loop(
+        0, d, filt_step, jnp.zeros((n_offsets, d, P), f32))
+    field_ref[:] = (c_ref[:] - tmp + b2) * mask_ref[:][:, None, :]
 
 
 @functools.partial(
@@ -233,7 +244,7 @@ def solve_filter(C_t, mask_t, noise_t, n_t, m_t, min_eigen,
 
     C_t:     (O, d, P) candidate patch vectors, pixel batch LAST
     mask_t:  (O, P) similar-set masks (float 0/1)
-    noise_t: (6*npx, P) mean noise covariance blocks
+    noise_t: (6*npx, P) mean noise covariance blocks (xx,yy,zz,yz,xz,xy)
     n_t:     (1, P) similar-set sizes
     m_t:     (d, P) masked means
     Returns field_t (O, d, P): masked filtered candidate patches.
@@ -241,6 +252,7 @@ def solve_filter(C_t, mask_t, noise_t, n_t, m_t, min_eigen,
     """
     n_offsets, d, p_total = C_t.shape
     assert p_total % LANES == 0, p_total
+    dp = d + 1 if d % 2 else d
     grid = (p_total // LANES,)
 
     kernel = functools.partial(
@@ -253,6 +265,20 @@ def solve_filter(C_t, mask_t, noise_t, n_t, m_t, min_eigen,
         (rows, cols, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
 
     eps = jnp.asarray(min_eigen, jnp.float32).reshape(1, 1)
+    scratch = [
+        pltpu.VMEM((d, d, LANES), jnp.float32),    # m2_s / H
+        pltpu.VMEM((d, d, LANES), jnp.float32),    # a_s (cholesky working)
+        pltpu.VMEM((dp, dp, LANES), jnp.float32),  # vt_s
+        pltpu.VMEM((dp, LANES), jnp.float32),      # lam_s
+        pltpu.VMEM((d, d, LANES), jnp.float32),    # lt_s
+        pltpu.VMEM((d, d, LANES), jnp.float32),    # y_s
+        pltpu.VMEM((d, d, LANES), jnp.float32),    # rhs_s
+        pltpu.VMEM((d, d, LANES), jnp.float32),    # t2t_s
+        pltpu.VMEM((d, d, LANES), jnp.float32),    # work_s (Cemp)
+        pltpu.VMEM((d, d, LANES), jnp.float32),    # inv_s
+        pltpu.VMEM((d, d, LANES), jnp.float32),    # bd_s
+        pltpu.VMEM((d, d, LANES), jnp.float32),    # a1t_s
+    ]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -266,6 +292,9 @@ def solve_filter(C_t, mask_t, noise_t, n_t, m_t, min_eigen,
         ],
         out_specs=lane_spec3(n_offsets, d),
         out_shape=jax.ShapeDtypeStruct((n_offsets, d, p_total), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(C_t, mask_t, noise_t, n_t, m_t, eps)
 

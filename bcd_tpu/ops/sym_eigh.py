@@ -83,9 +83,10 @@ def jacobi_eigh(mats: jnp.ndarray, sweeps: int = 10):
     bsz = int(np.prod(batch)) if batch else 1
     # (B, n, n) -> (n, n, B): batch on lanes
     a0 = jnp.moveaxis(mats.reshape((-1, n, n)).astype(jnp.float32), 0, -1)
-    v0 = jnp.broadcast_to(
-        jnp.eye(n, dtype=jnp.float32)[:, :, None], (n, n, bsz)
-    )
+    # derive the identity carry from a0 so it inherits a0's device-varying
+    # type under shard_map (a replicated constant cannot be a scan carry
+    # that is updated with per-shard data)
+    v0 = jnp.eye(n, dtype=jnp.float32)[:, :, None] + a0 * 0.0
 
     def one_round(carry, r):
         a, v = carry  # (n, n, B)
