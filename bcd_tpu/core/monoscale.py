@@ -75,6 +75,8 @@ class MonoscaleConfig(NamedTuple):
     #                            or "lax" (jnp.linalg.eigh)
     use_pallas: bool = False  # fused solve+filter kernel for the per-pixel
     #                           hot path (ops/solve_filter_pallas.py)
+    tile_batch: int = 1  # tiles processed together per scan step (bigger
+    #                      XLA op shapes; memory grows linearly)
 
     @property
     def halo(self) -> int:
@@ -419,26 +421,51 @@ def denoise_accumulate(cfg: MonoscaleConfig, color_p, nb_p, histo_p, cov_p,
 
     tp = t + 2 * h
 
-    def body(carry, torigin):
-        out_acc, cnt_acc = carry
+    tb = max(1, cfg.tile_batch)
+    n_tiles = tile_origins.shape[0]
+    if n_tiles % tb:  # pad with repeats of the last tile; the duplicate
+        # contributions are avoided by masking duplicates below
+        reps = jnp.tile(tile_origins[-1:], ((-n_tiles) % tb, 1))
+        dup_mask = jnp.concatenate([
+            jnp.ones((n_tiles,), jnp.float32),
+            jnp.zeros(((-n_tiles) % tb,), jnp.float32)])
+        tile_origins = jnp.concatenate([tile_origins, reps])
+    else:
+        dup_mask = jnp.ones((n_tiles,), jnp.float32)
+    chunked = tile_origins.reshape(-1, tb, 2)
+    mask_chunked = dup_mask.reshape(-1, tb)
+
+    def one_tile(torigin):
         ly, lx = torigin[0], torigin[1]
         slabs = [
             jax.lax.dynamic_slice(a, (ly, lx, 0), (tp, tp, a.shape[-1]))
             for a in (color_g, nb_g, histo_g, pixcov_g)
         ]
-        out_tile, cnt_tile = denoise_tile(
+        return denoise_tile(
             cfg, *slabs, row0 + ly, col0 + lx, ly, lx, core_h, core_w,
             g_h, g_w, threshold, min_eigen,
         )
-        cur = jax.lax.dynamic_slice(out_acc, (ly, lx, 0), (tp, tp, 3))
-        out_acc = jax.lax.dynamic_update_slice(out_acc, cur + out_tile, (ly, lx, 0))
-        curc = jax.lax.dynamic_slice(cnt_acc, (ly, lx), (tp, tp))
-        cnt_acc = jax.lax.dynamic_update_slice(cnt_acc, curc + cnt_tile, (ly, lx))
+
+    def body(carry, chunk):
+        out_acc, cnt_acc = carry
+        origins, valid = chunk
+        outs, cnts = jax.vmap(one_tile)(origins)  # (tb, tp, tp, 3/1)
+        outs = outs * valid[:, None, None, None]
+        cnts = cnts * valid[:, None, None]
+        for i in range(tb):  # sequential overlap-add (writes may overlap)
+            ly, lx = origins[i, 0], origins[i, 1]
+            cur = jax.lax.dynamic_slice(out_acc, (ly, lx, 0), (tp, tp, 3))
+            out_acc = jax.lax.dynamic_update_slice(
+                out_acc, cur + outs[i], (ly, lx, 0))
+            curc = jax.lax.dynamic_slice(cnt_acc, (ly, lx), (tp, tp))
+            cnt_acc = jax.lax.dynamic_update_slice(
+                cnt_acc, curc + cnts[i], (ly, lx))
         return (out_acc, cnt_acc), None
 
     out0 = _zeros_like_varying((hp + 2 * h, wp + 2 * h, 3), color_p)
     cnt0 = _zeros_like_varying((hp + 2 * h, wp + 2 * h), color_p)
-    (out_acc, cnt_acc), _ = jax.lax.scan(body, (out0, cnt0), tile_origins)
+    (out_acc, cnt_acc), _ = jax.lax.scan(
+        body, (out0, cnt0), (chunked, mask_chunked))
 
     return (
         out_acc[: core_h + 2 * h, : core_w + 2 * h],
@@ -466,21 +493,25 @@ def _denoise_image(cfg: MonoscaleConfig, color, nb, histo, cov,
 
 def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
                       tile: int | None = None,
-                      use_pallas: bool | None = None):
+                      use_pallas: bool | None = None,
+                      tile_batch: int | None = None):
     """Denoise one scale. Arrays are (H, W, C) float32 (numpy or jax);
-    returns a jax array (H, W, 3). The fused Pallas kernel is used by
-    default on TPU backends (2.9x measured vs the pure-XLA path); pass
-    ``use_pallas`` to override."""
+    returns a jax array (H, W, 3). On accelerator backends the fused Pallas
+    kernel plus 16-tile batching is the default (measured fastest on v5e);
+    pass ``use_pallas``/``tile_batch`` to override."""
     if use_pallas is None:
         # any accelerator backend (incl. tunneled TPU platforms); the CPU
         # backend would only run the kernel interpreted, which is slower
         # than the XLA path
         use_pallas = jax.default_backend() != "cpu"
+    if tile_batch is None:
+        tile_batch = 16 if use_pallas else 1
     cfg = MonoscaleConfig(
         patch_radius=params.patch_radius,
         search_radius=params.search_window_radius,
         tile=tile or 32,
         use_pallas=use_pallas,
+        tile_batch=tile_batch,
     )
     return _denoise_image(
         cfg,

@@ -77,7 +77,7 @@ def main() -> int:
     ap.add_argument("--small", action="store_true",
                     help="540p quick run instead of 1080p")
     ap.add_argument("--scales", type=int, default=3)
-    ap.add_argument("--tile", type=int, default=64)
+    ap.add_argument("--tile", type=int, default=32)
     ap.add_argument("--rebaseline", action="store_true",
                     help="re-measure the CPU baseline even if cached")
     args = ap.parse_args()
@@ -117,7 +117,9 @@ def main() -> int:
             color, nb, histo, cov, params, nb_of_scales=args.scales,
             tile=args.tile,
         )
-        out.block_until_ready()
+        # host readback of one texel: the only reliable sync on tunneled
+        # TPU platforms where block_until_ready can return early
+        float(out[0, 0, 0])
         return out
 
     t = time_fn(run, warmup=1, iters=3)
