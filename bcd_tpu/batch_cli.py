@@ -53,6 +53,9 @@ def main(argv: List[str] | None = None) -> int:
     ap.add_argument("--batch", action="store_true",
                     help="batch same-geometry frames across devices "
                          "(monoscale only)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip frames whose output already exists "
+                         "(preemption-safe renderfarm runs)")
     args = ap.parse_args(argv)
 
     pipeline = P.PipelineParameters()
@@ -67,6 +70,12 @@ def main(argv: List[str] | None = None) -> int:
 
     start = time.perf_counter()
     failures = 0
+
+    if args.resume:
+        skipped = [f for f in args.frames if os.path.exists(out_path(f))]
+        if skipped:
+            print(f"resume: skipping {len(skipped)} already-denoised frames")
+        args.frames = [f for f in args.frames if not os.path.exists(out_path(f))]
 
     if args.batch and pipeline.denoiser.nb_of_scales == 1:
         import jax

@@ -13,6 +13,13 @@ launch (CudaHistogramDistance.cu:214-239). The TPU-native equivalents:
 """
 
 from bcd_tpu.parallel.frames import denoise_frames
-from bcd_tpu.parallel.spatial import denoise_monoscale_spatial
+from bcd_tpu.parallel.spatial import (
+    denoise_monoscale_spatial,
+    denoise_multiscale_spatial,
+)
 
-__all__ = ["denoise_frames", "denoise_monoscale_spatial"]
+__all__ = [
+    "denoise_frames",
+    "denoise_monoscale_spatial",
+    "denoise_multiscale_spatial",
+]

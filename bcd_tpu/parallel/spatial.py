@@ -127,3 +127,59 @@ def denoise_monoscale_spatial(
         for a in (color, nb, histo, cov)
     ]
     return jax.jit(fn)(*args)
+
+
+def denoise_multiscale_spatial(
+    color, nb, histo, cov,
+    params: DenoiserParameters,
+    mesh: Mesh,
+    nb_of_scales: int = 3,
+    axis: str = "x",
+    tile: Optional[int] = None,
+):
+    """Multiscale denoise of one frame spatially sharded over mesh columns.
+
+    The pyramid ops (2x2 reductions, magic-kernel upsample, band merge) run
+    under jit on NamedSharding-annotated arrays — XLA inserts the boundary
+    collectives — while each scale's denoise uses the halo-exchange
+    monoscale path. Every scale's width must stay divisible by the axis
+    size with slabs at least halo wide, which bounds nb_of_scales for a
+    given mesh (e.g. 4K across 8 devices supports the default 3 scales)."""
+    from bcd_tpu.ops import resample
+
+    n = mesh.shape[axis]
+    sharding = NamedSharding(mesh, P(None, axis, None))
+
+    inputs = [tuple(
+        jax.device_put(jnp.asarray(a, jnp.float32), sharding)
+        for a in (color, nb, histo, cov))]
+    for s in range(nb_of_scales - 1):
+        c, nn, h, sc = inputs[-1]
+        if (c.shape[1] // 2) % n:
+            raise ValueError(
+                f"scale {s+1} width {c.shape[1] // 2} not divisible by the "
+                f"mesh axis size {n}; reduce nb_of_scales")
+        down = jax.jit(
+            lambda c, nn, h, sc: (
+                resample.downscale_average(c),
+                resample.downscale_sum(nn),
+                resample.downscale_sum(h),
+                resample.downscale_sample_covariance_sum(sc, nn),
+            ),
+            out_shardings=(sharding,) * 4,
+        )(c, nn, h, sc)
+        inputs.append(down)
+
+    merged = None
+    for scale in range(nb_of_scales - 1, -1, -1):
+        c, nn, h, sc = inputs[scale]
+        out = denoise_monoscale_spatial(
+            c, nn, h, sc, params, mesh, axis=axis, tile=tile)
+        if merged is None:
+            merged = out
+        else:
+            merged = jax.jit(
+                lambda hi, lo: resample.merge_outputs(hi, lo),
+                out_shardings=sharding,
+            )(out, merged)
+    return merged
