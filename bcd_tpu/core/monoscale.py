@@ -195,7 +195,7 @@ def _distance_masks(cfg, histo_pad, nb_pad, gy, gx, ly, lx, core_h, core_w,
         )
         return (dist <= threshold) & in_interior
 
-    masks = jax.vmap(one_offset, out_axes=2)(offs)  # (T, T, O) bool
+    masks = jax.vmap(one_offset)(offs)  # (O, T, T) bool (vmap-native layout)
 
     rows = gy + jnp.arange(t)[:, None]
     cols = gx + jnp.arange(t)[None, :]
@@ -207,8 +207,8 @@ def _distance_masks(cfg, histo_pad, nb_pad, gy, gx, ly, lx, core_h, core_w,
         & (cols >= r) & (cols <= width - 1 - r)
         & owned
     )
-    masks = masks.at[:, :, _self_offset_index(cfg)].set(center_valid)
-    masks = masks & center_valid[..., None]
+    masks = masks.at[_self_offset_index(cfg)].set(center_valid)
+    masks = masks & center_valid[None]
     return masks.astype(jnp.float32), center_valid
 
 
@@ -235,72 +235,102 @@ def denoise_tile(cfg: MonoscaleConfig, color_pad, nb_pad, histo_pad, pixcov_pad,
     tp = t + 2 * h
     offs = jnp.asarray(_offsets(cfg))
 
-    masks, center_valid = _distance_masks(
+    masks_o, center_valid = _distance_masks(
         cfg, histo_pad, nb_pad[..., 0], gy, gx, ly, lx, core_h, core_w,
         height, width, threshold,
-    )  # (T, T, O)
+    )  # (O, T, T)
 
-    n = jnp.sum(masks, axis=-1)  # (T, T)
+    n = jnp.sum(masks_o, axis=0)  # (T, T)
     is_main = (n >= d + 1) & center_valid
     is_fb = (~is_main) & center_valid
-
-    # candidate patch stacks over the extended core: patchifying the whole
-    # (tp, tp) slab yields (tp-2r)^2 = (t+2b)^2 = E^2 patch vectors whose
-    # index (i, j) is the patch centered at padded coord (r+i, r+j)
-    cp_ext = _patchify(color_pad, r)  # (E, E, d)
-    cv_ext = _patchify(pixcov_pad, r)  # (E, E, npx*6)
-
-    def cand_slice(arr, o):
-        return jax.lax.dynamic_slice(
-            arr, (o[0] + b, o[1] + b, 0), (t, t, arr.shape[-1])
-        )
-
-    # offset axis INNER (T, T, O, C): the moment/filter contractions below
-    # are then clean (T*T)-batched GEMMs over well-laid-out operands
-    C = jax.vmap(partial(cand_slice, cp_ext), out_axes=2)(offs)  # (T,T,O,d)
-    CV = jax.vmap(partial(cand_slice, cv_ext), out_axes=2)(offs)
-
-    mk = masks[..., None]  # (T, T, O, 1)
     n_safe = jnp.maximum(n, 1.0)
-    m = jnp.sum(mk * C, axis=2) / n_safe[..., None]  # (T, T, d) masked mean
-    noise6 = jnp.sum(mk * CV, axis=2).reshape(t, t, npx, 6) / n_safe[..., None, None]
 
     main_f = is_main.astype(color_pad.dtype)
     fb_f = is_fb.astype(color_pad.dtype)
+    n_off = cfg.n_offsets
+    k = cfg.k
+    offs_np = _offsets(cfg)
 
     if cfg.use_pallas:
         # fused kernel: everything from the second moment to the filtered
-        # candidates in one VMEM-resident pass, pixels on the lane axis
+        # candidates in one VMEM-resident pass, pixels on the lane axis.
+        # All marshaling is channels-leading so no large transposes occur
+        # on the way IN (one transpose remains on the way out, feeding the
+        # pixel-major scatter).
         from bcd_tpu.ops.solve_filter_pallas import LANES, solve_filter
 
-        n_off = masks.shape[-1]
         p_raw = t * t
         p_pad = -(-p_raw // LANES) * LANES
         pad_px = p_pad - p_raw
+        padp = lambda x: jnp.pad(  # noqa: E731
+            x, ((0, 0),) * (x.ndim - 1) + ((0, pad_px),))
 
-        def to_lanes(x, rows):  # (T, T, ...) -> (rows, P)
-            flat = x.reshape(p_raw, rows).T
-            return jnp.pad(flat, ((0, 0), (0, pad_px)))
+        def patchify_lead(img):  # (tp, tp, C) -> (k*k*C, E, E)
+            chans = [
+                img[dy : tp - 2 * r + dy, dx : tp - 2 * r + dx, c]
+                for dy in range(k)
+                for dx in range(k)
+                for c in range(img.shape[-1])
+            ]
+            return jnp.stack(chans, axis=0)
 
-        c_t = jnp.pad(
-            C.reshape(p_raw, n_off * d).T.reshape(n_off, d, p_raw),
-            ((0, 0), (0, 0), (0, pad_px)))
-        mask_t = to_lanes(masks, n_off)
-        noise_t = to_lanes(noise6.reshape(t, t, npx * 6), npx * 6)
-        n_t = jnp.pad(jnp.maximum(n, 1.0).reshape(1, p_raw),
-                      ((0, 0), (0, pad_px)), constant_values=1.0)
-        m_t = to_lanes(m, d)
+        cp_lead = patchify_lead(color_pad)  # (d, E, E)
+        cv_lead = patchify_lead(pixcov_pad)  # (npx*6, E, E)
+
+        def cand_stack(lead):
+            rows = lead.shape[0]
+            return jnp.stack(
+                [jax.lax.slice(lead, (0, dy + b, dx + b),
+                               (rows, dy + b + t, dx + b + t))
+                 for dy, dx in offs_np], axis=0,
+            ).reshape(n_off, rows, p_raw)
+
+        c_t = padp(cand_stack(cp_lead))  # (O, d, P)
+        cv_t = cand_stack(cv_lead)  # (O, 54, t*t)
+        mask_flat = masks_o.reshape(n_off, p_raw)
+        mask_t = padp(mask_flat)
+        inv_n = (1.0 / n_safe).reshape(1, p_raw)
+        m_flat = jnp.sum(c_t[..., :p_raw] * mask_flat[:, None, :], axis=0) \
+            * inv_n  # (d, t*t)
+        noise_t = padp(
+            jnp.sum(cv_t * mask_flat[:, None, :], axis=0) * inv_n)
+        n_t = jnp.pad(n_safe.reshape(1, p_raw), ((0, 0), (0, pad_px)),
+                      constant_values=1.0)
+        m_t = padp(m_flat)
 
         field_t = solve_filter(
             c_t, mask_t, noise_t, n_t, m_t, min_eigen,
             interpret=jax.default_backend() == "cpu",
         )
-        field = (
-            field_t[..., :p_raw].reshape(n_off * d, p_raw).T
-            .reshape(t, t, n_off, d)
-        )
-        field = field * main_f[..., None, None]
+        # gate + fallback in the lane layout, then one transpose for the
+        # pixel-major scatter
+        field_t = field_t[..., :p_raw] * main_f.reshape(1, 1, p_raw)
+        field_t = field_t.at[_self_offset_index(cfg)].add(
+            fb_f.reshape(1, p_raw) * m_flat)
+        field = jnp.moveaxis(field_t, -1, 0).reshape(t, t, n_off, d)
+        masks = jnp.moveaxis(masks_o, 0, -1)  # (T, T, O) for the count path
     else:
+        masks = jnp.moveaxis(masks_o, 0, -1)  # (T, T, O)
+        # candidate patch stacks over the extended core: patchifying the
+        # whole (tp, tp) slab yields (tp-2r)^2 = (t+2b)^2 = E^2 patch
+        # vectors whose index (i, j) is the patch at padded coord (r+i, r+j)
+        cp_ext = _patchify(color_pad, r)  # (E, E, d)
+        cv_ext = _patchify(pixcov_pad, r)  # (E, E, npx*6)
+
+        def cand_slice(arr, o):
+            return jax.lax.dynamic_slice(
+                arr, (o[0] + b, o[1] + b, 0), (t, t, arr.shape[-1])
+            )
+
+        # offset axis INNER (T, T, O, C): the moment/filter contractions
+        # below are then clean (T*T)-batched GEMMs
+        C = jax.vmap(partial(cand_slice, cp_ext), out_axes=2)(offs)
+        CV = jax.vmap(partial(cand_slice, cv_ext), out_axes=2)(offs)
+
+        mk = masks[..., None]  # (T, T, O, 1)
+        m = jnp.sum(mk * C, axis=2) / n_safe[..., None]  # (T, T, d)
+        noise6 = jnp.sum(mk * CV, axis=2).reshape(t, t, npx, 6) \
+            / n_safe[..., None, None]
         noise = cov6_to_mat3(noise6)  # (T, T, npx, 3, 3)
         noise_dense = blockdiag_expand(noise)  # (T, T, d, d)
 
@@ -341,8 +371,10 @@ def denoise_tile(cfg: MonoscaleConfig, color_pad, nb_pad, histo_pad, pixcov_pad,
         )  # (T, T, O, d)
 
         field = mk * main_f[..., None, None] * x2
+        field = field.at[:, :, _self_offset_index(cfg), :].add(
+            fb_f[..., None] * m)
+
     self_o = _self_offset_index(cfg)
-    field = field.at[:, :, self_o, :].add(fb_f[..., None] * m)
     cnt_field = masks * main_f[..., None]
     cnt_field = cnt_field.at[:, :, self_o].add(fb_f)
 
@@ -350,7 +382,6 @@ def denoise_tile(cfg: MonoscaleConfig, color_pad, nb_pad, histo_pad, pixcov_pad,
     # one deterministic segment-sum over a static index map (replaces the
     # reference's sequential per-patch scatter, DenoisingUnit.cpp:672-693)
     py, px = np.meshgrid(np.arange(t), np.arange(t), indexing="ij")
-    offs_np = _offsets(cfg)
     seg = (
         (h + py[:, :, None] + offs_np[None, None, :, 0]) * tp
         + (h + px[:, :, None] + offs_np[None, None, :, 1])
