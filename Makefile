@@ -1,0 +1,28 @@
+# bcd_tpu build/test entry points.
+#
+# The Python package needs no build step. The native CPU engine (runtime
+# fallback + self-generated performance baseline) builds here or on demand
+# from bcd_tpu.native_ref.
+
+CXX ?= g++
+CXXFLAGS ?= -O3 -march=native -fopenmp -std=c++17 -fPIC
+
+native: native/libbcd_cpu.so
+
+native/libbcd_cpu.so: native/bcd_cpu.cpp
+	$(CXX) $(CXXFLAGS) -shared $< -o $@
+
+test: native
+	python -m pytest tests/ -q
+
+bench: native
+	python bench.py
+
+golden:
+	python scripts/make_golden.py
+
+clean:
+	rm -f native/libbcd_cpu.so
+	rm -rf .pytest_cache __pycache__
+
+.PHONY: native test bench golden clean

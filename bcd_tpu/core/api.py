@@ -8,7 +8,7 @@ denoise arrays in memory"): a host renderer builds
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import numpy as np

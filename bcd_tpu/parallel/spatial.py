@@ -16,7 +16,7 @@ interior and window-truncation masks in global coordinates
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Optional
 
 import jax
