@@ -88,6 +88,13 @@ def main() -> int:
 
     import jax
 
+    # persistent compile cache: first-run compiles through the TPU tunnel
+    # take minutes; cached reruns take seconds
+    cache_dir = os.path.join(HERE, ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from bcd_tpu.core.multiscale import denoise_multiscale
     from bcd_tpu.params import DenoiserParameters
 
