@@ -75,6 +75,11 @@ class MonoscaleConfig(NamedTuple):
     #                            or "lax" (jnp.linalg.eigh)
     use_pallas: bool = False  # fused solve+filter kernel for the per-pixel
     #                           hot path (ops/solve_filter_pallas.py)
+    use_fused: bool = False  # fully fused K1->K2->K4 spatial pipeline
+    #                          (core/fused.py): candidates never leave VMEM
+    solve_sweeps: int = 4  # Jacobi sweeps in the fused clamp (accuracy knob:
+    #                        4 is 4e-5 output-RMSE from sweeps=6, well inside
+    #                        the 1e-4 oracle budget; measured on v5e)
     tile_batch: int = 1  # tiles processed together per scan step (bigger
     #                      XLA op shapes; memory grows linearly)
 
@@ -230,6 +235,17 @@ def denoise_tile(cfg: MonoscaleConfig, color_pad, nb_pad, histo_pad, pixcov_pad,
     """Denoise one tile. Inputs are (T+2h, T+2h, C) slabs; returns
     (out_sum (T+2h, T+2h, 3), count (T+2h, T+2h)) apron-inclusive
     contributions for global overlap-add."""
+    if cfg.use_fused:
+        from bcd_tpu.core.fused import denoise_tile_fused
+
+        return denoise_tile_fused(
+            cfg, color_pad, nb_pad, histo_pad, pixcov_pad,
+            gy, gx, ly, lx, core_h, core_w, height, width,
+            threshold, min_eigen,
+            interpret=jax.default_backend() == "cpu",
+            sweeps=cfg.solve_sweeps,
+        )
+
     t, r, b, h = cfg.tile, cfg.patch_radius, cfg.search_radius, cfg.halo
     npx, d = cfg.npx, cfg.d
     tp = t + 2 * h
@@ -525,16 +541,23 @@ def _denoise_image(cfg: MonoscaleConfig, color, nb, histo, cov,
 def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
                       tile: int | None = None,
                       use_pallas: bool | None = None,
-                      tile_batch: int | None = None):
+                      tile_batch: int | None = None,
+                      use_fused: bool | None = None):
     """Denoise one scale. Arrays are (H, W, C) float32 (numpy or jax);
-    returns a jax array (H, W, 3). On accelerator backends the fused Pallas
-    kernel plus 16-tile batching is the default (measured fastest on v5e);
-    pass ``use_pallas``/``tile_batch`` to override."""
+    returns a jax array (H, W, 3). On accelerator backends the fully fused
+    K1->K2->K4 spatial pipeline is the default (measured fastest on v5e);
+    pass ``use_fused``/``use_pallas``/``tile_batch`` to override."""
+    on_accel = jax.default_backend() != "cpu"
+    if use_fused is None:
+        # the fused spatial kernels only support the reference's
+        # patch_radius=1 geometry so far (d = 27); other radii take the
+        # batched-XLA path
+        use_fused = on_accel and params.patch_radius == 1
     if use_pallas is None:
         # any accelerator backend (incl. tunneled TPU platforms); the CPU
         # backend would only run the kernel interpreted, which is slower
         # than the XLA path
-        use_pallas = jax.default_backend() != "cpu"
+        use_pallas = on_accel and not use_fused
     if tile_batch is None:
         tile_batch = 16 if use_pallas else 1
     cfg = MonoscaleConfig(
@@ -542,6 +565,7 @@ def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
         search_radius=params.search_window_radius,
         tile=tile or 32,
         use_pallas=use_pallas,
+        use_fused=use_fused,
         tile_batch=tile_batch,
     )
     return _denoise_image(

@@ -227,20 +227,18 @@ def _masks_moments_kernel(thr_ref, histo_ref, nb_ref, color_ref,
     mask_ref[r0 : r0 + npix, :] = mask13
 
     # --- masked moment accumulation (shifted lane-wide FMAs) ---------------
-    m2acc = m2acc_s[:]
-    macc = macc_s[:]
-    novacc = novacc_s[:]
+    # each step reads+writes the scratch REF: carrying the (npix, d*d)
+    # accumulator as a live value across the unrolled dx loop makes
+    # Mosaic's register allocator spill multiple copies (measured: 107 MB
+    # of spill slots at tile=48, which overflows VMEM)
     for dxi, dx in enumerate(range(-b, b + 1)):
         s = 8 + dx
         mask = mask13[:, dxi : dxi + 1]
         if "m2" not in _SKIP:
-            m2acc = m2acc + mask * g_w[s : s + npix, :]
+            m2acc_s[:] = m2acc_s[:] + mask * g_w[s : s + npix, :]
         if "small" not in _SKIP:
-            macc = macc + mask * pc_w[s : s + npix, :]
-            novacc = novacc + mask * pcov_w[s : s + npix, :]
-    m2acc_s[:] = m2acc
-    macc_s[:] = macc
-    novacc_s[:] = novacc
+            macc_s[:] = macc_s[:] + mask * pc_w[s : s + npix, :]
+            novacc_s[:] = novacc_s[:] + mask * pcov_w[s : s + npix, :]
     nacc_s[:] += jnp.sum(mask13, axis=1, keepdims=True)
 
     @pl.when(o == 2 * b)
@@ -355,20 +353,15 @@ def _apply_scatter_kernel(masks_ref, a2t_ref, b2_ref, gate_ref,
     b2_w = _aligned_window(b2_ref, q8, npix)
     gate_w = _aligned_window(gate_ref, q8, npix)
 
-    wa = wa_s[:]
-    wb = wb_s[:]
-    cnt = cnt_s[:]
+    # per-step ref read-modify-write (see the K1 spill note above)
     mask_w = _aligned_window(masks_ref, q8, npix)  # (npix+16, 2b+1)
     for dxi, dx in enumerate(range(-b, b + 1)):
         s = 8 - dx  # negated static remainder
         w = (mask_w[s : s + npix, dxi : dxi + 1]
              * gate_w[s : s + npix, :])
-        wa = wa + w * a2_w[s : s + npix, :]
-        wb = wb + w * b2_w[s : s + npix, :]
-        cnt = cnt + w
-    wa_s[:] = wa
-    wb_s[:] = wb
-    cnt_s[:] = cnt
+        wa_s[:] = wa_s[:] + w * a2_w[s : s + npix, :]
+        wb_s[:] = wb_s[:] + w * b2_w[s : s + npix, :]
+        cnt_s[:] = cnt_s[:] + w
 
     @pl.when(o == 2 * b)
     def _emit():
@@ -378,13 +371,14 @@ def _apply_scatter_kernel(masks_ref, a2t_ref, b2_ref, gate_ref,
         f = wb_s[:] + fbm_ref[r0 : r0 + npix, 0:d]
         cnt2 = cnt_s[:] + fbm_ref[r0 : r0 + npix, d : d + 1]
         # F[:, j] += c-patch[:, k] * WA^T[:, k*d + j] for all j at once
-        # (c-patch[z, k] = color[z + q_k], read as shifted color columns)
-        wa2 = wa_s[:]
+        # (c-patch[z, k] = color[z + q_k], read as shifted color columns;
+        # WA^T columns read straight from the scratch ref to keep the live
+        # set small)
         for qi, q in enumerate(_patch_offsets(r, tps)):
             for c in range(3):
                 k = 3 * qi + c
                 ck = color_ref[r0 + q : r0 + q + npix, c : c + 1]
-                f = f + ck * wa2[:, k * d : (k + 1) * d]
+                f = f + ck * wa_s[:, k * d : (k + 1) * d]
         # aggregate: pixel y receives component group q of the candidate
         # field at y - q (Denoiser.cpp:434-470 semantics, one pass)
         out_ref[0:r0, :] = jnp.zeros((r0, 4), f32)

@@ -1,13 +1,25 @@
-"""Fused Pallas TPU kernel: masked patch statistics -> eigenvalue-clamped
-two-step Bayesian filter, for a batch of pixels.
+"""Fused Pallas TPU kernels for the per-pixel Bayesian solve.
 
 This is the per-pixel hot path of the denoiser (reference DenoisingUnit.cpp
 steps: empiricalCovarianceMatrix + clampNegativeEigenValues +
-inverseSymmetricMatrix + finalDenoisingMatrixMultiplication) fused into one
-VMEM-resident kernel. XLA codegen for millions of tiny (27-dim) per-pixel
+inverseSymmetricMatrix + finalDenoisingMatrixMultiplication) fused into
+VMEM-resident kernels. XLA codegen for millions of tiny (27-dim) per-pixel
 matrices is lane-starved (27 of 128 lanes used) and HBM-bound between ops;
 here the PIXEL batch lives on the lane axis — every op is a full-width
 vector op on (d, d, 128) tiles that never leave VMEM.
+
+Two kernels share the math core:
+
+- ``solve_filter``: candidate-stack form. Takes the gathered (O, d, P)
+  candidate patch vectors + masks, computes the masked moments itself, and
+  emits the filtered candidate fields. Used by the tile engine's
+  per-candidate path (monoscale.py, cfg.use_pallas).
+- ``solve_matrices`` (K2 of the fully fused pipeline, ops/fused_pallas.py):
+  moment form. Takes the PRE-ACCUMULATED masked moments from the spatial
+  ``masks_moments`` kernel (raw second moment M2, patch sums, patch-cov
+  sums, set sizes) and emits only the per-pixel filter (A2^T, b2) — the
+  candidates never exist in HBM at all; ``apply_scatter`` re-derives the
+  filtered fields as spatial correlations.
 
 Math pipeline (all per pixel, vectorized over 128 lanes):
 - masked second moment   M2 = sum_o mask_o c_o c_o^T
@@ -24,7 +36,8 @@ Math pipeline (all per pixel, vectorized over 128 lanes):
   substitution — no back-substitution, and every product in the kernel is
   a sum of row-outer-products (X^T Y = sum_k rowX_k^T rowY_k), which needs
   only row slices.
-- filter                 field_o = mask_o (A2 c_o + b2), A2 = I - N inv2
+- filter                 A2 = I - N inv2, b2 = N inv2 m
+  (solve_filter additionally applies it: field_o = mask_o (A2 c_o + b2))
 
 Mosaic practicalities that shaped the code (measured on v5e through this
 environment's remote-compile tunnel): 1-D intermediates (``x[k][None]``)
@@ -55,67 +68,34 @@ def _perm_slices(dp: int):
     return [(0, 1), (h, h + 1), (1, h - 1), (h + 1, 2 * h), (h - 1, h)]
 
 
-def _solve_filter_kernel(c_ref, mask_ref, noise_ref, n_ref, m_ref, eps_ref,
-                         field_ref,
-                         m2_s, a_s, vt_s, lam_s, lt_s, y_s, rhs_s, t2t_s,
-                         work_s, inv_s, bd_s, a1t_s,
-                         *, n_offsets, d, npx, sweeps):
-    dp = d + 1 if d % 2 else d  # padded (even) size for the pairing schedule
-    half = dp // 2
-    P = LANES
-    f32 = jnp.float32
-
-    n = n_ref[:]  # (1, P)
-    m = m_ref[:]  # (d, P)
-    eps = eps_ref[0, 0]
-
-    # 3-D iota masks (built directly in final rank: no axis inserts)
+def _eye3(d: int):
     ri3 = jax.lax.broadcasted_iota(jnp.int32, (d, d, 1), 0)
     ci3 = jax.lax.broadcasted_iota(jnp.int32, (d, d, 1), 1)
-    eye3 = (ri3 == ci3).astype(f32)  # (d, d, 1)
+    return ri3, ci3, (ri3 == ci3).astype(jnp.float32)
+
+
+def _jacobi_clamp_psd(x, d, dp, sweeps, vt_s, lam_s):
+    """Eigenvalue-clamp a symmetric (d, d, P) value at zero (the reference's
+    clampNegativeEigenValues, DenoisingUnit.cpp:606-630) via fixed-schedule
+    Brent-Luk Jacobi. Uses vt_s (dp, dp, P) / lam_s (dp, P) scratch refs;
+    returns the clamped (d, d, P) value."""
+    P = x.shape[-1]
+    f32 = jnp.float32
+    half = dp // 2
     ri3p = jax.lax.broadcasted_iota(jnp.int32, (dp, dp, 1), 0)
     ci3p = jax.lax.broadcasted_iota(jnp.int32, (dp, dp, 1), 1)
     eye3p = (ri3p == ci3p).astype(f32)
     sel3p = (ci3p == ri3p + half).astype(f32)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, d, 1), 1)  # (1, d, 1)
 
-    mask3 = mask_ref[:][:, None, :]  # (O, 1, P), hoisted loop-invariant
-
-    # ---- masked second moment: row i of M2 = sum_o (w c)[o,i] * c[o,:] ---
-    def m2_row(i, carry):
-        ci = c_ref[:, pl.ds(i, 1)]  # (O, 1, P)
-        row = jnp.sum(ci * mask3 * c_ref[:], axis=0, keepdims=True)
-        m2_s[pl.ds(i, 1)] = row  # (1, d, P)
-        return carry
-
-    jax.lax.fori_loop(0, d, m2_row, 0)
-
-    nm1 = jnp.maximum(n - 1.0, 1.0)  # (1, P)
-    m2 = m2_s[:]
-    cemp = (m2 - n[None] * m[:, None, :] * m[None, :, :]) / nm1[None]
-    work_s[:] = cemp  # keep Cemp for step 2
-
-    # ---- dense block-diagonal noise -------------------------------------
-    pairs = [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]
-    bd = jnp.zeros((d, d, P), f32)
-    for q in range(npx):
-        for ch, (i, j) in enumerate(pairs):
-            a_, b_ = 3 * q + i, 3 * q + j
-            one = ((ri3 == a_) & (ci3 == b_)) | ((ri3 == b_) & (ci3 == a_))
-            nv = noise_ref[pl.ds(6 * q + ch, 1)]  # (1, P)
-            bd = bd + one.astype(f32) * nv[None]
-    bd_s[:] = bd
-
-    # ---- Jacobi clamp of (Cemp - BD) -------------------------------------
-    a0 = jnp.pad(cemp - bd, ((0, dp - d), (0, dp - d), (0, 0)))
+    a0 = jnp.pad(x, ((0, dp - d), (0, dp - d), (0, 0)))
     vt0 = jnp.broadcast_to(eye3p, (dp, dp, P))
     perm = _perm_slices(dp)
 
-    def permute0(x):
-        return jnp.concatenate([x[a0:a1] for a0, a1 in perm], axis=0)
+    def permute0(y):
+        return jnp.concatenate([y[p0:p1] for p0, p1 in perm], axis=0)
 
-    def permute1(x):
-        return jnp.concatenate([x[:, a0:a1] for a0, a1 in perm], axis=1)
+    def permute1(y):
+        return jnp.concatenate([y[:, p0:p1] for p0, p1 in perm], axis=1)
 
     def jacobi_round(_, carry):
         a, vt = carry
@@ -131,8 +111,8 @@ def _solve_filter_kernel(c_ref, mask_ref, noise_ref, n_ref, m_ref, eps_ref,
         c = 1.0 / jnp.sqrt(1.0 + t * t)  # (half, P)
         s = t * c
 
-        def rot_rows(x):
-            top, bot = x[:half], x[half:]
+        def rot_rows(y):
+            top, bot = y[:half], y[half:]
             return jnp.concatenate(
                 [c[:, None, :] * top - s[:, None, :] * bot,
                  s[:, None, :] * top + c[:, None, :] * bot], axis=0)
@@ -156,13 +136,21 @@ def _solve_filter_kernel(c_ref, mask_ref, noise_ref, n_ref, m_ref, eps_ref,
         lk = lam_s[pl.ds(k, 1)]  # (1, P)
         return acc + jnp.swapaxes(row, 0, 1) * (row * lk[None])
 
-    clamped = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, dp, recon, jnp.zeros((dp, dp, P), f32))[:d, :d]
 
-    # ---- SPD inverse: chol(M + eps I), Y = L^-1, inv = Y^T Y -------------
+
+def _make_spd_inverse(a_s, rhs_s, lt_s, y_s, d, eps):
+    """Closure: SPD inverse of a (d, d, P) value as chol(M + eps I),
+    Y = L^-1 by forward substitution, inv = Y^T Y. Uses the given (d, d, P)
+    scratch refs."""
+    f32 = jnp.float32
+    _, _, eye3 = _eye3(d)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, d, 1), 1)
+
     def spd_inverse(mat):
-        a_s[:] = mat + eps * eye3  # cholesky working matrix (scratch ref)
-        rhs_s[:] = jnp.broadcast_to(eye3, (d, d, P))
+        a_s[:] = mat + eps * eye3  # cholesky working matrix
+        rhs_s[:] = jnp.broadcast_to(eye3, mat.shape)
 
         def chol_step(j, carry):
             rowj = a_s[pl.ds(j, 1)]  # (1, d, P)
@@ -193,17 +181,85 @@ def _solve_filter_kernel(c_ref, mask_ref, noise_ref, n_ref, m_ref, eps_ref,
             yk = y_s[pl.ds(k, 1)]  # (1, d, P)
             return acc + jnp.swapaxes(yk, 0, 1) * yk
 
-        return jax.lax.fori_loop(0, d, yty_step, jnp.zeros((d, d, P), f32))
+        return jax.lax.fori_loop(
+            0, d, yty_step, jnp.zeros(mat.shape, f32))
 
-    # every matrix product below is sum_k rowX_k^T rowY_k = X^T Y with X
-    # symmetric, so only row slices of scratch refs are needed
+    return spd_inverse
+
+
+def _make_xty(d, P):
+    """Closure: X^T Y for symmetric X from two (d, d, P) scratch refs, as a
+    sum of row outer products (only row slices are ever read)."""
+
     def xty(x_ref_like, y_ref_like):
         def step(k, acc):
             xr = x_ref_like[pl.ds(k, 1)]
             yr = y_ref_like[pl.ds(k, 1)]
             return acc + jnp.swapaxes(xr, 0, 1) * yr
 
-        return jax.lax.fori_loop(0, d, step, jnp.zeros((d, d, P), f32))
+        return jax.lax.fori_loop(
+            0, d, step, jnp.zeros((d, d, P), jnp.float32))
+
+    return xty
+
+
+_COV_PAIRS = [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]  # xx yy zz yz xz xy
+
+
+def _blockdiag_noise(read_channel, d, npx, P):
+    """Dense (d, d, P) block-diagonal noise covariance from per-patch-pixel
+    6-channel blocks; ``read_channel(idx)`` returns the (1, P) channel
+    value (channel order xx,yy,zz,yz,xz,xy, CovarianceMatrix.h:18-28)."""
+    f32 = jnp.float32
+    ri3, ci3, _ = _eye3(d)
+    bd = jnp.zeros((d, d, P), f32)
+    for q in range(npx):
+        for ch, (i, j) in enumerate(_COV_PAIRS):
+            a_, b_ = 3 * q + i, 3 * q + j
+            one = ((ri3 == a_) & (ci3 == b_)) | ((ri3 == b_) & (ci3 == a_))
+            nv = read_channel(6 * q + ch)  # (1, P)
+            bd = bd + one.astype(f32) * nv[None]
+    return bd
+
+
+def _solve_filter_kernel(c_ref, mask_ref, noise_ref, n_ref, m_ref, eps_ref,
+                         field_ref,
+                         m2_s, a_s, vt_s, lam_s, lt_s, y_s, rhs_s, t2t_s,
+                         work_s, inv_s, bd_s, a1t_s,
+                         *, n_offsets, d, npx, sweeps):
+    dp = d + 1 if d % 2 else d  # padded (even) size for the pairing schedule
+    P = LANES
+    f32 = jnp.float32
+
+    n = n_ref[:]  # (1, P)
+    m = m_ref[:]  # (d, P)
+    eps = eps_ref[0, 0]
+    _, _, eye3 = _eye3(d)
+
+    mask3 = mask_ref[:][:, None, :]  # (O, 1, P), hoisted loop-invariant
+
+    # ---- masked second moment: row i of M2 = sum_o (w c)[o,i] * c[o,:] ---
+    def m2_row(i, carry):
+        ci = c_ref[:, pl.ds(i, 1)]  # (O, 1, P)
+        row = jnp.sum(ci * mask3 * c_ref[:], axis=0, keepdims=True)
+        m2_s[pl.ds(i, 1)] = row  # (1, d, P)
+        return carry
+
+    jax.lax.fori_loop(0, d, m2_row, 0)
+
+    nm1 = jnp.maximum(n - 1.0, 1.0)  # (1, P)
+    m2 = m2_s[:]
+    cemp = (m2 - n[None] * m[:, None, :] * m[None, :, :]) / nm1[None]
+    work_s[:] = cemp  # keep Cemp for step 2
+
+    bd_s[:] = _blockdiag_noise(
+        lambda idx: noise_ref[pl.ds(idx, 1)], d, npx, P)
+    bd = bd_s[:]
+
+    clamped = _jacobi_clamp_psd(cemp - bd, d, dp, sweeps, vt_s, lam_s)
+
+    spd_inverse = _make_spd_inverse(a_s, rhs_s, lt_s, y_s, d, eps)
+    xty = _make_xty(d, P)
 
     # step 1: inv1 = (clamped + BD + eps I)^-1 ; A1^T = I - inv1 BD
     inv_s[:] = spd_inverse(clamped + bd)
@@ -240,7 +296,7 @@ def _solve_filter_kernel(c_ref, mask_ref, noise_ref, n_ref, m_ref, eps_ref,
     jax.jit, static_argnames=("npx", "sweeps", "interpret"))
 def solve_filter(C_t, mask_t, noise_t, n_t, m_t, min_eigen,
                  npx: int = 9, sweeps: int = 6, interpret: bool = False):
-    """Run the fused solve+filter kernel.
+    """Run the fused solve+filter kernel (candidate-stack form).
 
     C_t:     (O, d, P) candidate patch vectors, pixel batch LAST
     mask_t:  (O, P) similar-set masks (float 0/1)
@@ -299,13 +355,159 @@ def solve_filter(C_t, mask_t, noise_t, n_t, m_t, min_eigen,
     )(C_t, mask_t, noise_t, n_t, m_t, eps)
 
 
+def _solve_matrices_kernel(m2_ref, msum_ref, nov_ref, n_ref, eps_ref,
+                           a2t_ref, b2_ref,
+                           a_s, vt_s, lam_s, lt_s, y_s, rhs_s, t2t_s,
+                           work_s, inv_s, bd_s, a1t_s, h_s, m_s,
+                           *, d, npx, sweeps):
+    dp = d + 1 if d % 2 else d
+    P = LANES
+    f32 = jnp.float32
+
+    n = n_ref[:]  # (1, P)
+    eps = eps_ref[0, 0]
+    inv_n = 1.0 / jnp.maximum(n, 1.0)
+    _, _, eye3 = _eye3(d)
+
+    m_s[:] = msum_ref[:] * inv_n  # masked mean m = msum / n, (d, P)
+    m = m_s[:]
+    nm1 = jnp.maximum(n - 1.0, 1.0)
+    cemp = (m2_ref[:] - n[None] * m[:, None, :] * m[None, :, :]) / nm1[None]
+    work_s[:] = cemp  # keep Cemp for step 2
+
+    bd_s[:] = _blockdiag_noise(
+        lambda idx: nov_ref[pl.ds(idx, 1)] * inv_n, d, npx, P)
+    bd = bd_s[:]
+
+    clamped = _jacobi_clamp_psd(cemp - bd, d, dp, sweeps, vt_s, lam_s)
+
+    spd_inverse = _make_spd_inverse(a_s, rhs_s, lt_s, y_s, d, eps)
+    xty = _make_xty(d, P)
+
+    # step 1: inv1 = (clamped + BD + eps I)^-1 ; A1^T = I - inv1 BD
+    inv_s[:] = spd_inverse(clamped + bd)
+    a1t_s[:] = jnp.broadcast_to(eye3, (d, d, P)) - xty(inv_s, bd_s)
+
+    # step 2 (closed form): cov2 = A1 Cemp A1^T
+    h_s[:] = xty(work_s, a1t_s)  # H = Cemp A1^T
+    cov2 = xty(a1t_s, h_s)
+    inv_s[:] = spd_inverse(cov2 + bd)
+    t2t_s[:] = xty(inv_s, bd_s)  # T2^T = inv2 BD; T2 = BD inv2
+
+    # A2^T = I - T2^T, in the k-major packing apply_scatter expects:
+    # a2t[k, j] = A2[j, k]
+    a2t_ref[:] = jnp.broadcast_to(eye3, (d, d, P)) - t2t_s[:]
+
+    # b2 = T2 m: b2[i] = sum_k T2T[k, i] m[k]
+    def b2_step(k, acc):
+        t2tk = t2t_s[pl.ds(k, 1)]  # (1, d, P)
+        mk = m_s[pl.ds(k, 1)]  # (1, P)
+        return acc + t2tk * mk[None]
+
+    b2_ref[:] = jax.lax.fori_loop(
+        0, d, b2_step, jnp.zeros((1, d, P), f32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("npx", "sweeps", "interpret"))
+def solve_matrices(m2_t, msum_t, nov_t, n_t, min_eigen,
+                   npx: int = 9, sweeps: int = 6, interpret: bool = False):
+    """Run the moment-form solve kernel (K2 of the fused pipeline).
+
+    m2_t:   (d, d, P) RAW masked second moments sum_o w c_o c_o^T
+            (from ``masks_moments``; lane-marshaled upstream)
+    msum_t: (d, P) masked color-patch sums (NOT yet divided by n)
+    nov_t:  (6*npx, P) masked patch pixel-cov sums (NOT yet divided by n)
+    n_t:    (1, P) similar-set sizes (pad lanes with n=1, moments 0)
+    Returns (a2t (d, d, P), b2 (1, d, P)) with a2t[k, j, p] = A2[p][j, k]
+    — flattening (k, j) row-major gives exactly ``apply_scatter``'s k-major
+    packing. P must be a multiple of 128.
+    """
+    d = m2_t.shape[0]
+    p_total = m2_t.shape[-1]
+    assert p_total % LANES == 0, p_total
+    dp = d + 1 if d % 2 else d
+    grid = (p_total // LANES,)
+
+    kernel = functools.partial(
+        _solve_matrices_kernel, d=d, npx=npx, sweeps=sweeps)
+
+    lane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+    lane_spec3 = lambda rows, cols: pl.BlockSpec(  # noqa: E731
+        (rows, cols, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+    eps = jnp.asarray(min_eigen, jnp.float32).reshape(1, 1)
+    dd = lambda: pltpu.VMEM((d, d, LANES), jnp.float32)  # noqa: E731
+    scratch = [
+        dd(),                                      # a_s (cholesky working)
+        pltpu.VMEM((dp, dp, LANES), jnp.float32),  # vt_s
+        pltpu.VMEM((dp, LANES), jnp.float32),      # lam_s
+        dd(),                                      # lt_s
+        dd(),                                      # y_s
+        dd(),                                      # rhs_s
+        dd(),                                      # t2t_s
+        dd(),                                      # work_s (Cemp)
+        dd(),                                      # inv_s
+        dd(),                                      # bd_s
+        dd(),                                      # a1t_s
+        dd(),                                      # h_s
+        pltpu.VMEM((d, LANES), jnp.float32),       # m_s
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            lane_spec3(d, d),
+            lane_spec(d),
+            lane_spec(6 * npx),
+            lane_spec(1),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            lane_spec3(d, d),
+            lane_spec3(1, d),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d, d, p_total), jnp.float32),
+            jax.ShapeDtypeStruct((1, d, p_total), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(m2_t, msum_t, nov_t, n_t, eps)
+
+
+def _solve_core_reference(cemp, bd, m, min_eigen, exact_floor=True):
+    """Shared XLA reference for the two-step solve: returns (A2, b2)."""
+    from bcd_tpu.ops.sym_eigh import sym_apply
+
+    d = cemp.shape[-1]
+    clamped = sym_apply(cemp - bd, lambda l: jnp.maximum(l, 0.0))
+    if exact_floor:
+        inv = lambda mat: sym_apply(  # noqa: E731
+            mat, lambda l: 1.0 / jnp.maximum(l, min_eigen))
+    else:
+        eye_ = jnp.eye(d)
+        inv = lambda mat: jnp.linalg.inv(mat + min_eigen * eye_)  # noqa: E731
+    eye = jnp.eye(d)
+    inv1 = inv(clamped + bd)
+    a1 = eye - jnp.einsum("pkl,plj->pkj", bd, inv1)
+    cov2 = jnp.einsum("pkl,plj,pmj->pkm", a1, cemp, a1)
+    inv2 = inv(cov2 + bd)
+    t2 = jnp.einsum("pkl,plj->pkj", bd, inv2)
+    a2 = eye - t2
+    b2 = jnp.einsum("pkl,pl->pk", t2, m)
+    return a2, b2
+
+
 def solve_filter_reference(C_t, mask_t, noise_t, n_t, m_t, min_eigen,
                            npx: int = 9, exact_floor: bool = True):
-    """Plain-XLA twin of the kernel for testing (float32, same math;
+    """Plain-XLA twin of ``solve_filter`` for testing (float32, same math;
     ``exact_floor=True`` uses the reference's eigenvalue floor instead of
     the kernel's (M + eps I) Cholesky substitute)."""
     from bcd_tpu.ops.cov3x3 import blockdiag_expand, cov6_to_mat3
-    from bcd_tpu.ops.sym_eigh import sym_apply
 
     O, d, P = C_t.shape
     C = jnp.moveaxis(C_t, -1, 0)  # (P, O, d)
@@ -320,21 +522,31 @@ def solve_filter_reference(C_t, mask_t, noise_t, n_t, m_t, min_eigen,
     nm1 = jnp.maximum(n - 1.0, 1.0)[:, None, None]
     cemp = (m2 - n[:, None, None] * m[:, :, None] * m[:, None, :]) / nm1
 
-    clamped = sym_apply(cemp - bd, lambda l: jnp.maximum(l, 0.0))
-    if exact_floor:
-        inv = lambda mat: sym_apply(  # noqa: E731
-            mat, lambda l: 1.0 / jnp.maximum(l, min_eigen))
-    else:
-        eye = jnp.eye(d)
-        inv = lambda mat: jnp.linalg.inv(mat + min_eigen * eye)  # noqa: E731
-    inv1 = inv(clamped + bd)
-    eye = jnp.eye(d)
-    a1 = eye - jnp.einsum("pkl,plj->pkj", bd, inv1)
-    cov2 = jnp.einsum("pkl,plj,pmj->pkm", a1, cemp, a1)
-    inv2 = inv(cov2 + bd)
-    t2 = jnp.einsum("pkl,plj->pkj", bd, inv2)
-    a2 = eye - t2
-    b2 = jnp.einsum("pkl,pl->pk", t2, m)
+    a2, b2 = _solve_core_reference(cemp, bd, m, min_eigen, exact_floor)
     x2 = jnp.einsum("pkl,pol->pok", a2, C) + b2[:, None, :]
     field = mk * x2
     return jnp.moveaxis(field, 0, -1)  # (O, d, P)
+
+
+def solve_matrices_reference(m2_t, msum_t, nov_t, n_t, min_eigen,
+                             npx: int = 9, exact_floor: bool = True):
+    """Plain-XLA twin of ``solve_matrices``: same inputs, returns
+    (a2t (d, d, P), b2 (1, d, P)) in the kernel's layout."""
+    from bcd_tpu.ops.cov3x3 import blockdiag_expand, cov6_to_mat3
+
+    d = m2_t.shape[0]
+    P = m2_t.shape[-1]
+    n = n_t[0]  # (P,)
+    nsafe = jnp.maximum(n, 1.0)
+    m2 = jnp.moveaxis(m2_t, -1, 0)  # (P, d, d)
+    m = jnp.moveaxis(msum_t, -1, 0) / nsafe[:, None]
+    noise6 = jnp.moveaxis(nov_t, -1, 0).reshape(P, npx, 6) \
+        / nsafe[:, None, None]
+    bd = blockdiag_expand(cov6_to_mat3(noise6))
+    nm1 = jnp.maximum(n - 1.0, 1.0)[:, None, None]
+    cemp = (m2 - n[:, None, None] * m[:, :, None] * m[:, None, :]) / nm1
+
+    a2, b2 = _solve_core_reference(cemp, bd, m, min_eigen, exact_floor)
+    # kernel layout: a2t[k, j, p] = A2[p][j, k]
+    a2t = jnp.moveaxis(jnp.swapaxes(a2, -1, -2), 0, -1)
+    return a2t, jnp.moveaxis(b2, 0, -1)[None]

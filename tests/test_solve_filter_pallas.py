@@ -58,3 +58,71 @@ def test_floor_substitution_is_immaterial(rng):
     exact = np.asarray(solve_filter_reference(*args, 1e-8, exact_floor=True))
     subst = np.asarray(solve_filter_reference(*args, 1e-8, exact_floor=False))
     assert np.sqrt(np.mean((exact - subst) ** 2)) < 1e-5
+
+
+def _moment_inputs(rng, O=49, d=27, npx=9, P=128):
+    """Raw masked moments as masks_moments (K1) would emit them."""
+    C, mask, noise_mean, n, m = make_inputs(rng, O=O, d=d, npx=npx, P=P)
+    mk = mask[:, None, :]
+    m2 = np.einsum("okp,olp->klp", mk * C, C).astype(np.float32)
+    msum = (mk * C).sum(axis=0).astype(np.float32)
+    nov = (noise_mean * n).astype(np.float32)  # raw sums, not means
+    return m2, msum, nov, n, C, mask, noise_mean, m
+
+
+def test_solve_matrices_matches_twin(rng):
+    import jax.numpy as jnp
+    from bcd_tpu.ops.solve_filter_pallas import (
+        solve_matrices, solve_matrices_reference)
+
+    m2, msum, nov, n, *_ = _moment_inputs(rng)
+    args = tuple(jnp.asarray(x) for x in (m2, msum, nov, n))
+    a2t, b2 = solve_matrices(*args, 1e-8, interpret=True, sweeps=10)
+    a2t_r, b2_r = solve_matrices_reference(*args, 1e-8)
+    for got, ref in ((np.asarray(a2t), np.asarray(a2t_r)),
+                     (np.asarray(b2), np.asarray(b2_r))):
+        rms = np.sqrt(np.mean((got - ref) ** 2))
+        assert rms < 2e-4, rms
+
+
+def test_solve_matrices_consistent_with_solve_filter(rng):
+    """The moment-form kernel and the candidate-stack kernel must produce
+    the same filter: field_o = mask_o (A2 c_o + b2)."""
+    import jax.numpy as jnp
+    from bcd_tpu.ops.solve_filter_pallas import solve_filter, solve_matrices
+
+    m2, msum, nov, n, C, mask, noise_mean, m = _moment_inputs(rng)
+    a2t, b2 = solve_matrices(
+        *(jnp.asarray(x) for x in (m2, msum, nov, n)), 1e-8,
+        interpret=True, sweeps=10)
+    field = np.asarray(solve_filter(
+        *(jnp.asarray(x) for x in (C, mask, noise_mean, n, m)), 1e-8,
+        interpret=True, sweeps=10))
+
+    a2 = np.moveaxis(np.asarray(a2t), -1, 0).transpose(0, 2, 1)  # (P, d, d)
+    b2v = np.moveaxis(np.asarray(b2)[0], -1, 0)  # (P, d)
+    # want (O, d, P): mask * (A2 C + b2)
+    want = mask[:, None, :] * np.moveaxis(
+        np.einsum("pkl,pol->pok", a2, np.moveaxis(C, -1, 0)) + b2v[:, None],
+        0, -1)
+    rms = np.sqrt(np.mean((field - want) ** 2))
+    assert rms < 2e-4, rms
+
+
+def test_solve_matrices_degenerate_lanes(rng):
+    """Pad lanes (n=1, zero moments) and empty sets must produce finite
+    A2/b2 (gated downstream) — no NaN/Inf leaks."""
+    import jax.numpy as jnp
+    from bcd_tpu.ops.solve_filter_pallas import solve_matrices
+
+    m2, msum, nov, n, *_ = _moment_inputs(rng)
+    m2[..., :32] = 0.0
+    msum[:, :32] = 0.0
+    nov[:, :32] = 0.0
+    n[:, :16] = 1.0  # pad-lane convention
+    n[:, 16:32] = 0.0  # empty similar set
+    a2t, b2 = solve_matrices(
+        *(jnp.asarray(x) for x in (m2, msum, nov, n)), 1e-8,
+        interpret=True)
+    assert np.isfinite(np.asarray(a2t)).all()
+    assert np.isfinite(np.asarray(b2)).all()
