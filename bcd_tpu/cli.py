@@ -54,6 +54,7 @@ def print_usage(prog: str) -> None:
     print(f"    --use-cuda <0/1>     Accepted for compatibility; 1 maps to 'use the accelerator' (default: {int(mono.use_cuda)})")
     print(f"    -e <float>           Minimum eigen value for matrix inversion (default: {mono.min_eigen_value})")
     print("    --tile <int>         Processing tile size (TPU-specific; default 32)")
+    print("    --skip-stride <int>  Solve only every Nth patch center (deterministic analog of the reference's skip-marking heuristic); 1 = exact, 2/3 trade quality for throughput (default: 1)")
 
 
 class _Args:
@@ -64,6 +65,7 @@ class _Args:
         self.cov_path: Optional[str] = None
         self.pipeline = P.PipelineParameters()
         self.tile: Optional[int] = None
+        self.skip_stride: int = 1
 
 
 def _expect_value(argv: List[str], i: int, flag: str, msg: str) -> str:
@@ -156,8 +158,18 @@ def parse_args(argv: List[str]) -> Optional[_Args]:
         elif flag == "--tile":
             args.tile = int(_expect_value(argv, i, flag, "tile size"))
             i += 2
+        elif flag == "--skip-stride":
+            args.skip_stride = int(_expect_value(argv, i, flag, "stride"))
+            i += 2
         else:
             i += 1  # unknown tokens skipped, like the reference parser
+
+    # validated after the loop so it can't depend on -w argument order
+    if not 1 <= args.skip_stride <= 2 * mono.patch_radius + 1:
+        print("ERROR in program arguments: --skip-stride must be in "
+              f"[1, {2 * mono.patch_radius + 1}] (= patch diameter, so the "
+              "patch aggregation still covers every pixel)")
+        return None
 
     # infer _hist/_cov from the color path when omitted (main.cpp:344-370)
     if args.input_color_path:
@@ -208,7 +220,7 @@ def launch(argv: List[str]) -> int:
 
     out = denoise_pipeline(
         color, nb, histo, cov, args.pipeline, tile=args.tile,
-        progress_callback=progress,
+        progress_callback=progress, skip_stride=args.skip_stride,
     )
     print()
     image_io.write_exr(out, args.output_path)

@@ -29,6 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from bcd_tpu.core.monoscale import _stride_center_mask
 from bcd_tpu.ops.fused_pallas import (
     flat_geometry, from_flat, masks_moments, apply_scatter, to_flat)
 from bcd_tpu.ops.solve_filter_pallas import LANES, solve_matrices
@@ -61,6 +62,9 @@ def denoise_tile_fused(cfg, color_pad, nb_pad, histo_pad, pixcov_pad,
     in_core = (iy >= h) & (iy < h + t) & (ix >= h) & (ix < h + t)
     owned = ((ly + iy - h) < core_h) & ((lx + ix - h) < core_w)
     center_valid = interior & in_core & owned
+    stride = _stride_center_mask(cfg, rows_g, cols_g, height, width)
+    if stride is not None:
+        center_valid = center_valid & stride
     valid = jnp.stack(
         [center_valid, interior], axis=-1).astype(jnp.float32)
 

@@ -80,6 +80,12 @@ class MonoscaleConfig(NamedTuple):
     solve_sweeps: int = 4  # Jacobi sweeps in the fused clamp (accuracy knob:
     #                        4 is 4e-5 output-RMSE from sweeps=6, well inside
     #                        the 1e-4 oracle budget; measured on v5e)
+    skip_stride: int = 1  # solve only every skip_stride-th center (both
+    #                       axes): the deterministic analog of the
+    #                       reference's skip-marking speed heuristic
+    #                       (DenoisingUnit.cpp:163-173). 1 = exact -m 0
+    #                       semantics; must stay <= 2*patch_radius+1 so the
+    #                       patch aggregation still covers every pixel.
     tile_batch: int = 1  # tiles processed together per scan step (bigger
     #                      XLA op shapes; memory grows linearly)
 
@@ -113,6 +119,29 @@ def _offsets(cfg: MonoscaleConfig) -> np.ndarray:
 def _self_offset_index(cfg: MonoscaleConfig) -> int:
     b = cfg.search_radius
     return (2 * b + 1) * b + b
+
+
+def _stride_center_mask(cfg: MonoscaleConfig, rows_g, cols_g, height, width):
+    """Solved-center mask for ``skip_stride`` > 1 (broadcasts over the
+    given global row/column index arrays).
+
+    Deterministic replacement for the reference's order-dependent skip
+    marking (Denoiser.cpp:161-162 + DenoisingUnit.cpp:163-173, 690): solve
+    centers on a regular stride grid, anchored so the FIRST and LAST
+    interior row/column are always centers. With stride <= 2r+1 every
+    interior pixel lies within patch_radius of a solved center, so the
+    patch scatter covers the whole image; the estimate-count normalization
+    already averages whatever coverage each pixel gets."""
+    s = cfg.skip_stride
+    if s <= 1:
+        return None
+    assert s <= cfg.k, (s, cfg.k)
+    r = cfg.patch_radius
+
+    def on(v, size):
+        return ((v - r) % s == 0) | (v == size - 1 - r)
+
+    return on(rows_g, height) & on(cols_g, width)
 
 
 def _patchify(img: jnp.ndarray, radius: int) -> jnp.ndarray:
@@ -212,6 +241,9 @@ def _distance_masks(cfg, histo_pad, nb_pad, gy, gx, ly, lx, core_h, core_w,
         & (cols >= r) & (cols <= width - 1 - r)
         & owned
     )
+    stride = _stride_center_mask(cfg, rows, cols, height, width)
+    if stride is not None:
+        center_valid = center_valid & stride
     masks = masks.at[_self_offset_index(cfg)].set(center_valid)
     masks = masks & center_valid[None]
     return masks.astype(jnp.float32), center_valid
@@ -542,7 +574,8 @@ def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
                       tile: int | None = None,
                       use_pallas: bool | None = None,
                       tile_batch: int | None = None,
-                      use_fused: bool | None = None):
+                      use_fused: bool | None = None,
+                      skip_stride: int = 1):
     """Denoise one scale. Arrays are (H, W, C) float32 (numpy or jax);
     returns a jax array (H, W, 3). On accelerator backends the fully fused
     K1->K2->K4 spatial pipeline is the default (measured fastest on v5e);
@@ -567,6 +600,7 @@ def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
         use_pallas=use_pallas,
         use_fused=use_fused,
         tile_batch=tile_batch,
+        skip_stride=skip_stride,
     )
     return _denoise_image(
         cfg,

@@ -41,6 +41,7 @@ def denoise_multiscale(
     nb_of_scales: int = 3,
     tile: Optional[int] = None,
     progress_callback: Optional[Callable[[float], None]] = None,
+    skip_stride: int = 1,
 ):
     """Full multiscale denoise; returns a jax array (H, W, 3)."""
     color = jnp.asarray(color, jnp.float32)
@@ -66,7 +67,8 @@ def denoise_multiscale(
         mapper = _scale_progress_mapper(nb_of_scales, scale)
         if progress_callback is not None:
             progress_callback(mapper(0.0))
-        out = denoise_monoscale(c, n, h, sc, params, tile=tile)
+        out = denoise_monoscale(c, n, h, sc, params, tile=tile,
+                                skip_stride=skip_stride)
         if progress_callback is not None:
             progress_callback(mapper(1.0))
         merged = out if merged is None else resample.merge_outputs(out, merged)

@@ -30,8 +30,13 @@ def denoise_pipeline(
     pipeline_params: Optional[PipelineParameters] = None,
     tile: Optional[int] = None,
     progress_callback: Optional[Callable[[float], None]] = None,
+    skip_stride: int = 1,
 ) -> np.ndarray:
-    """Full pipeline on in-memory arrays; returns (H, W, 3) float32 numpy."""
+    """Full pipeline on in-memory arrays; returns (H, W, 3) float32 numpy.
+
+    ``skip_stride`` > 1 solves only every skip_stride-th patch center (the
+    deterministic analog of the reference's skip-marking heuristic,
+    DenoisingUnit.cpp:163-173) — a quality/throughput trade; 1 = exact."""
     p = pipeline_params or PipelineParameters()
 
     color = jnp.asarray(colors, jnp.float32)
@@ -49,11 +54,11 @@ def denoise_pipeline(
         out = denoise_multiscale(
             color, nb, histo, cov, p.denoiser.monoscale,
             nb_of_scales=p.denoiser.nb_of_scales, tile=tile,
-            progress_callback=progress_callback,
+            progress_callback=progress_callback, skip_stride=skip_stride,
         )
     else:
         out = denoise_monoscale(color, nb, histo, cov, p.denoiser.monoscale,
-                                tile=tile)
+                                tile=tile, skip_stride=skip_stride)
         if progress_callback is not None:
             progress_callback(1.0)
 
