@@ -215,8 +215,14 @@ def launch(argv: List[str]) -> int:
         print(f"ERROR: couldn't load input images: {e}")
         return 1
 
+    last_pct = [-1]
+
     def progress(p: float) -> None:
-        print(f"\r{int(p * 100)} %", end="", flush=True)
+        # print on integer-percent changes only (reference Denoiser.cpp:189)
+        pct = int(p * 100)
+        if pct != last_pct[0]:
+            last_pct[0] = pct
+            print(f"\r{pct} %", end="", flush=True)
 
     out = denoise_pipeline(
         color, nb, histo, cov, args.pipeline, tile=args.tile,

@@ -51,9 +51,10 @@ parallel layer shards tiles/frames across a mesh).
 
 from __future__ import annotations
 
+import contextlib
 import math
 from functools import partial
-from typing import NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +64,32 @@ from bcd_tpu.ops.cov3x3 import blockdiag_expand, cov6_to_mat3
 from bcd_tpu.params import DenoiserParameters
 
 HIGHEST = jax.lax.Precision.HIGHEST
+
+
+# In-scale progress reporting (reference Denoiser.cpp:179-192: atomic pixel
+# counter + integer-percent callback from thread 0). The engine's scan emits
+# one host callback per tile chunk via jax.debug.callback; the active
+# consumer is registered here because jitted functions cannot close over
+# Python callables as arguments.
+_progress_consumer: Optional[Callable[[float], None]] = None
+
+
+@contextlib.contextmanager
+def progress_scope(callback: Callable[[float], None]):
+    """Route in-scale progress fractions (monotone, in [0, 1]) to
+    ``callback`` for the duration of the scope."""
+    global _progress_consumer
+    prev, _progress_consumer = _progress_consumer, callback
+    try:
+        yield
+    finally:
+        _progress_consumer = prev
+
+
+def _emit_progress(done, total):
+    cb = _progress_consumer
+    if cb is not None:
+        cb(float(done) / float(total))
 
 
 class MonoscaleConfig(NamedTuple):
@@ -80,6 +107,9 @@ class MonoscaleConfig(NamedTuple):
     solve_sweeps: int = 4  # Jacobi sweeps in the fused clamp (accuracy knob:
     #                        4 is 4e-5 output-RMSE from sweeps=6, well inside
     #                        the 1e-4 oracle budget; measured on v5e)
+    report_progress: bool = False  # emit one host progress callback per
+    #                                tile chunk (jax.debug.callback into
+    #                                progress_scope's consumer)
     skip_stride: int = 1  # solve only every skip_stride-th center (both
     #                       axes): the deterministic analog of the
     #                       reference's skip-marking speed heuristic
@@ -525,9 +555,11 @@ def denoise_accumulate(cfg: MonoscaleConfig, color_p, nb_p, histo_p, cov_p,
             g_h, g_w, threshold, min_eigen,
         )
 
+    n_chunks = chunked.shape[0]
+
     def body(carry, chunk):
         out_acc, cnt_acc = carry
-        origins, valid = chunk
+        origins, valid, chunk_i = chunk
         outs, cnts = jax.vmap(one_tile)(origins)  # (tb, tp, tp, 3/1)
         outs = outs * valid[:, None, None, None]
         cnts = cnts * valid[:, None, None]
@@ -539,12 +571,18 @@ def denoise_accumulate(cfg: MonoscaleConfig, color_p, nb_p, histo_p, cov_p,
             curc = jax.lax.dynamic_slice(cnt_acc, (ly, lx), (tp, tp))
             cnt_acc = jax.lax.dynamic_update_slice(
                 cnt_acc, curc + cnts[i], (ly, lx))
+        if cfg.report_progress:
+            # ordered so fractions arrive monotone (reference parity:
+            # integer-percent callbacks within a scale, Denoiser.cpp:179-192)
+            jax.debug.callback(
+                _emit_progress, chunk_i + 1, n_chunks, ordered=True)
         return (out_acc, cnt_acc), None
 
     out0 = _zeros_like_varying((hp + 2 * h, wp + 2 * h, 3), color_p)
     cnt0 = _zeros_like_varying((hp + 2 * h, wp + 2 * h), color_p)
     (out_acc, cnt_acc), _ = jax.lax.scan(
-        body, (out0, cnt0), (chunked, mask_chunked))
+        body, (out0, cnt0),
+        (chunked, mask_chunked, jnp.arange(n_chunks, dtype=jnp.int32)))
 
     return (
         out_acc[: core_h + 2 * h, : core_w + 2 * h],
@@ -575,7 +613,8 @@ def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
                       use_pallas: bool | None = None,
                       tile_batch: int | None = None,
                       use_fused: bool | None = None,
-                      skip_stride: int = 1):
+                      skip_stride: int = 1,
+                      progress_callback: Callable[[float], None] | None = None):
     """Denoise one scale. Arrays are (H, W, C) float32 (numpy or jax);
     returns a jax array (H, W, 3). On accelerator backends the fully fused
     K1->K2->K4 spatial pipeline is the default (measured fastest on v5e);
@@ -601,8 +640,9 @@ def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
         use_fused=use_fused,
         tile_batch=tile_batch,
         skip_stride=skip_stride,
+        report_progress=progress_callback is not None,
     )
-    return _denoise_image(
+    args = (
         cfg,
         jnp.asarray(color, jnp.float32),
         jnp.asarray(nb, jnp.float32),
@@ -611,3 +651,12 @@ def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
         jnp.float32(params.histogram_distance_threshold),
         jnp.float32(params.min_eigen_value),
     )
+    if progress_callback is None:
+        return _denoise_image(*args)
+    with progress_scope(progress_callback):
+        out = _denoise_image(*args)
+        # drain the ordered callbacks before leaving the scope (dispatch is
+        # async; a scalar readback is the only reliable sync on the axon
+        # tunnel, where block_until_ready can return early)
+        float(jnp.sum(out))
+    return out

@@ -65,10 +65,13 @@ def denoise_multiscale(
     for scale in range(nb_of_scales - 1, -1, -1):
         c, n, h, sc = inputs[scale]
         mapper = _scale_progress_mapper(nb_of_scales, scale)
+        scale_cb = None
         if progress_callback is not None:
             progress_callback(mapper(0.0))
+            scale_cb = lambda p, m=mapper: progress_callback(m(p))  # noqa: E731
         out = denoise_monoscale(c, n, h, sc, params, tile=tile,
-                                skip_stride=skip_stride)
+                                skip_stride=skip_stride,
+                                progress_callback=scale_cb)
         if progress_callback is not None:
             progress_callback(mapper(1.0))
         merged = out if merged is None else resample.merge_outputs(out, merged)

@@ -58,7 +58,8 @@ def denoise_pipeline(
         )
     else:
         out = denoise_monoscale(color, nb, histo, cov, p.denoiser.monoscale,
-                                tile=tile, skip_stride=skip_stride)
+                                tile=tile, skip_stride=skip_stride,
+                                progress_callback=progress_callback)
         if progress_callback is not None:
             progress_callback(1.0)
 

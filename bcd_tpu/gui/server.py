@@ -16,6 +16,7 @@ Run:  python -m bcd_tpu.gui.server [--port 8000] [-a preset.bcd.json]
 from __future__ import annotations
 
 import argparse
+import copy
 import io
 import json
 import threading
@@ -70,25 +71,42 @@ class AppState:
             "histo": np.asarray(h), "cov": np.asarray(cv),
         }
 
-    def run_denoise(self):
+    def start_denoise(self) -> bool:
+        """Atomic busy test-and-set + parameter/input snapshot; returns
+        False when a denoise is already running (the caller reports it).
+        Must be called with the lock held."""
+        if self.busy or self.inputs is None:
+            return False
         self.busy = True
         self.error = None
         self.progress = 0.0
+        # the worker runs on a SNAPSHOT so concurrent /denoise or /state
+        # POSTs can't interleave update_params with a running denoise
+        pipeline = copy.deepcopy(self.pipeline)
+        inputs = self.inputs
+        threading.Thread(
+            target=self._run_denoise, args=(pipeline, inputs), daemon=True
+        ).start()
+        return True
+
+    def _run_denoise(self, pipeline, inputs):
         try:
-            i = self.inputs
             t0 = time.perf_counter()
 
             def cb(p):
                 self.progress = float(p)
 
-            self.output = denoise_pipeline(
-                i["color"], i["nb"], i["histo"], i["cov"],
-                self.pipeline, progress_callback=cb,
+            output = denoise_pipeline(
+                inputs["color"], inputs["nb"], inputs["histo"],
+                inputs["cov"], pipeline, progress_callback=cb,
             )
-            self.denoise_seconds = time.perf_counter() - t0
-            self.progress = 1.0
+            with self.lock:
+                self.output = output
+                self.denoise_seconds = time.perf_counter() - t0
+                self.progress = 1.0
         except Exception as e:  # surface errors to the UI
-            self.error = f"{type(e).__name__}: {e}"
+            with self.lock:
+                self.error = f"{type(e).__name__}: {e}"
         finally:
             self.busy = False
 
@@ -160,7 +178,10 @@ body { font-family: sans-serif; margin: 0; display: flex; background: #222; colo
 #panel input[type=text] { width: 100%; }
 #panel input[type=number] { width: 90px; }
 #viewer { flex: 1; padding: 12px; }
-#img { max-width: 100%; image-rendering: pixelated; border: 1px solid #444; }
+#viewport { overflow: hidden; height: 85vh; border: 1px solid #444;
+            cursor: grab; background: #111; }
+#img { image-rendering: pixelated; transform-origin: 0 0; user-select: none;
+       -webkit-user-drag: none; }
 button { margin-top: 10px; margin-right: 6px; }
 #status { margin-top: 10px; font-size: 13px; color: #9c9; white-space: pre-wrap; }
 h3 { margin: 6px 0; }
@@ -201,7 +222,8 @@ h3 { margin: 6px 0; }
   </select>
   exposure <input type="range" id="exposure" min="-8" max="8" step="0.25" value="0" onchange="refresh()">
   gamma <input type="range" id="gamma" min="1" max="4" step="0.1" value="2.2" onchange="refresh()">
-  <div><img id="img"></div>
+  <span style="font-size:12px;color:#888">(wheel = zoom, drag = pan, double-click = reset)</span>
+  <div id="viewport"><img id="img"></div>
 </div>
 <script>
 const FIELDS = ["inputColorFile","inputHistoFile","inputCovarFile",
@@ -251,6 +273,34 @@ function refresh() {
   const g = document.getElementById("gamma").value;
   document.getElementById("img").src = `/image?view=${v}&exposure=${e}&gamma=${g}&t=${Date.now()}`;
 }
+// pan/zoom ViewFrame (reference GuiWindow.h:51-81)
+let vf = {s: 1, tx: 0, ty: 0};
+const img = document.getElementById("img");
+const vp = document.getElementById("viewport");
+function applyVF() {
+  img.style.transform = `translate(${vf.tx}px, ${vf.ty}px) scale(${vf.s})`;
+}
+vp.addEventListener("wheel", (ev) => {
+  ev.preventDefault();
+  const rect = vp.getBoundingClientRect();
+  const mx = ev.clientX - rect.left, my = ev.clientY - rect.top;
+  const k = ev.deltaY < 0 ? 1.25 : 0.8;
+  vf.tx = mx - k * (mx - vf.tx);
+  vf.ty = my - k * (my - vf.ty);
+  vf.s *= k;
+  applyVF();
+}, {passive: false});
+let drag = null;
+vp.addEventListener("mousedown", (ev) => {
+  drag = {x: ev.clientX - vf.tx, y: ev.clientY - vf.ty};
+  vp.style.cursor = "grabbing";
+});
+window.addEventListener("mousemove", (ev) => {
+  if (!drag) return;
+  vf.tx = ev.clientX - drag.x; vf.ty = ev.clientY - drag.y; applyVF();
+});
+window.addEventListener("mouseup", () => { drag = null; vp.style.cursor = "grab"; });
+vp.addEventListener("dblclick", () => { vf = {s: 1, tx: 0, ty: 0}; applyVF(); });
 sync(); refresh();
 </script></body></html>
 """
@@ -282,7 +332,9 @@ class Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(payload)
         elif url.path == "/state":
-            self._json(STATE.params_dict())
+            with STATE.lock:
+                resp = STATE.params_dict()
+            self._json(resp)
         elif url.path == "/image":
             q = parse_qs(url.query)
             img = STATE.view_image(
@@ -302,31 +354,37 @@ class Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         try:
             body = self._body()
-            if self.path == "/load":
-                STATE.update_params(body)
-                STATE.load_inputs()
-            elif self.path == "/prefilter":
-                STATE.update_params(body)
-                STATE.run_prefilter()
-            elif self.path == "/denoise":
-                STATE.update_params(body)
-                if not STATE.busy and STATE.inputs is not None:
-                    threading.Thread(target=STATE.run_denoise, daemon=True).start()
-            elif self.path == "/preset":
-                if body["mode"] == "save":
-                    STATE.update_params(body.get("params", {}))
-                    P.save_pipeline_json(STATE.pipeline, body["path"])
+            # every state mutation happens under the lock; the denoise
+            # worker itself runs outside it on a parameter snapshot
+            with STATE.lock:
+                if self.path == "/load":
+                    STATE.update_params(body)
+                    STATE.load_inputs()
+                elif self.path == "/prefilter":
+                    STATE.update_params(body)
+                    STATE.run_prefilter()
+                elif self.path == "/denoise":
+                    STATE.update_params(body)
+                    if not STATE.start_denoise() and STATE.inputs is not None:
+                        STATE.error = "denoise already running"
+                elif self.path == "/preset":
+                    if body["mode"] == "save":
+                        STATE.update_params(body.get("params", {}))
+                        P.save_pipeline_json(STATE.pipeline, body["path"])
+                    else:
+                        P.load_pipeline_json(body["path"], STATE.pipeline)
+                elif self.path == "/save":
+                    if STATE.output is not None:
+                        image_io.write_exr(STATE.output, body["path"])
                 else:
-                    P.load_pipeline_json(body["path"], STATE.pipeline)
-            elif self.path == "/save":
-                if STATE.output is not None:
-                    image_io.write_exr(STATE.output, body["path"])
-            else:
-                return self._json({"error": "not found"}, 404)
-            self._json(STATE.params_dict())
+                    return self._json({"error": "not found"}, 404)
+                resp = STATE.params_dict()
+            self._json(resp)
         except Exception as e:
-            STATE.error = f"{type(e).__name__}: {e}"
-            self._json(STATE.params_dict(), 500)
+            with STATE.lock:
+                STATE.error = f"{type(e).__name__}: {e}"
+                resp = STATE.params_dict()
+            self._json(resp, 500)
 
 
 def main() -> int:

@@ -104,3 +104,49 @@ def test_gui_endpoints(gui_server, tmp_path, rng):
         _post(gui_server + "/preset", {"mode": "load", "path": "/nope.json"})
     state = json.loads(_get(gui_server + "/state"))
     assert "FileNotFoundError" in (state["error"] or "")
+
+
+def test_gui_concurrent_denoise_single_run(gui_server, tmp_path, rng):
+    """Racing /denoise POSTs: exactly one denoise may start; losers get the
+    'denoise already running' note and the running job is unaffected by
+    concurrent parameter updates (it runs on a snapshot)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bcd_tpu.io import image_io
+
+    color = rng.random((16, 16, 3)).astype(np.float32)
+    histo = rng.random((16, 16, 60)).astype(np.float32) * 4
+    nb = np.full((16, 16, 1), 8.0, np.float32)
+    cov = np.zeros((16, 16, 6), np.float32)
+    cov[..., :3] = 0.05
+    image_io.write_exr(color, str(tmp_path / "c.exr"))
+    image_io.write_multi_channels_exr(
+        image_io.merge_histogram_and_nb_of_samples(histo, nb),
+        str(tmp_path / "h.exr"))
+    image_io.write_multi_channels_exr(cov, str(tmp_path / "v.exr"))
+    _post(gui_server + "/load", {
+        "inputColorFile": str(tmp_path / "c.exr"),
+        "inputHistoFile": str(tmp_path / "h.exr"),
+        "inputCovarFile": str(tmp_path / "v.exr"),
+    })
+
+    body = {"nbOfScales": 1, "searchWindowRadius": 2}
+    with ThreadPoolExecutor(8) as ex:
+        states = list(ex.map(
+            lambda _: _post(gui_server + "/denoise", body), range(8)))
+    rejected = [s for s in states if s.get("error") == "denoise already running"]
+    assert len(rejected) >= 1  # racers were turned away, not double-started
+
+    # params posted mid-run must not corrupt the running job
+    _post(gui_server + "/denoise", {"searchWindowRadius": 3})
+
+    import time as _t
+    for _ in range(600):
+        state = json.loads(_get(gui_server + "/state"))
+        if not state["busy"]:
+            break
+        _t.sleep(0.1)
+    assert state["busy"] is False
+    assert state["hasOutput"] is True
+    png = _get(gui_server + "/image?view=output&exposure=0&gamma=2.2")
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"

@@ -114,3 +114,20 @@ class TestPipeline:
         out = denoise_pipeline(color, nb, histo, cov, p, tile=8)
         assert out.shape == color.shape
         assert np.all(np.isfinite(out)) and np.all(out >= 0)
+
+    def test_odd_dimensions_full_pyramid(self, rng):
+        """Odd H and W through 3 scales: the floor-size downscale drops the
+        trailing row/column (MultiscaleDenoiser.cpp:243-295 uses floor sizes
+        with clamped quad reads; equivalent for all retained pixels) and the
+        magic-kernel merge upsamples back to the odd sizes. Pins the
+        end-to-end equivalence against the float64 oracle."""
+        from bcd_tpu.core.multiscale import denoise_multiscale
+
+        color, nb, histo, cov = small_inputs(rng, h=21, w=19, spp=16)
+        params = DenoiserParameters(search_window_radius=2)
+        ref = oracle.denoise_multiscale(color, nb, histo, cov, params, 3)
+        out = denoise_multiscale(
+            color, nb, histo, cov, params, nb_of_scales=3, tile=8
+        )
+        assert out.shape == (21, 19, 3)
+        assert rmse(out, ref) < 2e-4
