@@ -18,6 +18,11 @@ test: native
 bench: native
 	python bench.py
 
+# on-hardware accuracy gate: compiled Pallas kernels + engine vs goldens
+# on the real TPU (tests/ run CPU-only by design; this closes the gap)
+verify-tpu:
+	python scripts/verify_tpu.py
+
 golden:
 	python scripts/make_golden.py
 

@@ -42,6 +42,9 @@ def load_frame(color_path: str):
 
 
 def main(argv: List[str] | None = None) -> int:
+    from bcd_tpu.cache import configure_compile_cache
+
+    configure_compile_cache()
     ap = argparse.ArgumentParser(
         description="Batch-denoise frames with a shared .bcd.json preset")
     ap.add_argument("frames", nargs="+", help="input color EXRs")

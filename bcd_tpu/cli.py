@@ -235,6 +235,9 @@ def launch(argv: List[str]) -> int:
 
 
 def main() -> int:
+    from bcd_tpu.cache import configure_compile_cache
+
+    configure_compile_cache()
     start = time.perf_counter()
     rc = launch(sys.argv[1:])
     elapsed = time.perf_counter() - start

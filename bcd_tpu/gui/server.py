@@ -388,6 +388,9 @@ class Handler(BaseHTTPRequestHandler):
 
 
 def main() -> int:
+    from bcd_tpu.cache import configure_compile_cache
+
+    configure_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--host", default="127.0.0.1")

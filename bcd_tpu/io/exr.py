@@ -7,7 +7,10 @@ what the BCD pipeline needs and a little more:
 
 - single-part scanline images, increasing line order
 - channel types HALF and FLOAT (read UINT too), x/y sampling 1
-- compression NONE, ZIPS (1 line/chunk) and ZIP (16 lines/chunk)
+- compression NONE, ZIPS (1 line/chunk), ZIP (16 lines/chunk) and RLE for
+  read+write; PXR24 (16 lines/chunk, lossy-float deflate) and PIZ
+  (32 lines/chunk, wavelet + Huffman — what most OpenEXR-based renderers
+  emit by default) for read
 - arbitrary channel names; the BCD stat buffers use ``Bin_%04d`` FLOAT
   channels (reference io_exr.cpp writeMultiImageEXR), color images use
   R/G/B(/A) HALF channels (reference writes via RgbaOutputFile)
@@ -41,8 +44,25 @@ NO_COMPRESSION = 0
 RLE_COMPRESSION = 1
 ZIPS_COMPRESSION = 2
 ZIP_COMPRESSION = 3
+PIZ_COMPRESSION = 4
+PXR24_COMPRESSION = 5
 
-_LINES_PER_CHUNK = {NO_COMPRESSION: 1, ZIPS_COMPRESSION: 1, ZIP_COMPRESSION: 16}
+# compressions the pure-numpy codec decodes itself; anything else (PIZ,
+# B44/B44A, DWAA/DWAB) plus tiled/deep/multipart files route to the
+# system-OpenEXR bridge (bcd_tpu/io/exr_native.py)
+_LINES_PER_CHUNK = {
+    NO_COMPRESSION: 1,
+    RLE_COMPRESSION: 1,
+    ZIPS_COMPRESSION: 1,
+    ZIP_COMPRESSION: 16,
+    PXR24_COMPRESSION: 16,
+}
+
+# version-field feature bits (OpenEXR file layout spec)
+_FLAG_TILED = 0x200
+_FLAG_DEEP = 0x800
+_FLAG_MULTIPART = 0x1000
+_BRIDGE_FLAGS = _FLAG_TILED | _FLAG_DEEP | _FLAG_MULTIPART
 
 
 @dataclass
@@ -97,20 +117,106 @@ def _zip_postprocess(data: bytes) -> bytes:
     return out.tobytes()
 
 
+def _rle_encode(data: bytes) -> bytes:
+    """OpenEXR run-length scheme: [count-1, byte] for runs >= 3,
+    [-(count), literal bytes] otherwise (signed-char counts, max 127)."""
+    out = bytearray()
+    n = len(data)
+    i = 0
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(run - 1)
+            out.append(data[i])
+            i += run
+        else:
+            lit = i
+            # a literal segment extends until a run of >= 3 starts
+            while (i < n and i - lit < 127
+                   and not (i + 2 < n and data[i] == data[i + 1] == data[i + 2])):
+                i += 1
+            out.append(256 - (i - lit))  # -(count) as unsigned byte
+            out += data[lit:i]
+    return bytes(out)
+
+
+def _rle_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        count = data[i]
+        i += 1
+        if count > 127:  # signed char < 0: literal run of -count bytes
+            run = 256 - count
+            out += data[i : i + run]
+            i += run
+        else:  # run of (count + 1) copies of the next byte
+            out += data[i : i + 1] * (count + 1)
+            i += 1
+    if len(out) != expected:
+        raise ExrError(f"RLE chunk decoded to {len(out)} bytes, "
+                       f"expected {expected}")
+    return bytes(out)
+
+
+def _pxr24_decode(data: bytes, channels: List["Channel"], width: int,
+                  n_lines: int) -> bytes:
+    """PXR24: zlib over per-(scanline, channel) BYTE PLANES of row-wise
+    DELTA-coded pixels; FLOAT pixels are truncated to 24 bits (top 3 bytes
+    of the f32 pattern), reconstructed as ``bits24 << 8``."""
+    raw = zlib.decompress(data)
+    plane_sizes = {UINT: 4, HALF: 2, FLOAT: 3}
+    pos = 0
+    rows: List[bytes] = []
+    for _ in range(n_lines):
+        for ch in channels:
+            nb = plane_sizes[ch.pixel_type]
+            planes = np.frombuffer(
+                raw, np.uint8, count=nb * width, offset=pos
+            ).reshape(nb, width).astype(np.uint64)
+            pos += nb * width
+            # reassemble big-endian diffs, then prefix-sum modulo 2^(8*nb)
+            diffs = np.zeros(width, np.uint64)
+            for p in range(nb):
+                diffs = (diffs << np.uint64(8)) | planes[p]
+            vals = np.cumsum(diffs) & np.uint64((1 << (8 * nb)) - 1)
+            if ch.pixel_type == FLOAT:
+                bits = (vals.astype(np.uint32) << np.uint32(8))
+                rows.append(bits.view(np.float32).astype("<f4").tobytes())
+            elif ch.pixel_type == HALF:
+                rows.append(vals.astype("<u2").tobytes())
+            else:
+                rows.append(vals.astype("<u4").tobytes())
+    if pos != len(raw):
+        raise ExrError("PXR24 chunk size mismatch")
+    return b"".join(rows)
+
+
 def _compress_chunk(raw: bytes, compression: int) -> bytes:
     if compression == NO_COMPRESSION:
         return raw
     if compression in (ZIP_COMPRESSION, ZIPS_COMPRESSION):
         packed = zlib.compress(_zip_preprocess(raw), 6)
         return packed if len(packed) < len(raw) else raw
+    if compression == RLE_COMPRESSION:
+        packed = _rle_encode(_zip_preprocess(raw))
+        return packed if len(packed) < len(raw) else raw
     raise ExrError(f"unsupported compression for write: {compression}")
 
 
-def _decompress_chunk(data: bytes, raw_size: int, compression: int) -> bytes:
+def _decompress_chunk(data: bytes, raw_size: int, compression: int,
+                      channels: Optional[List[Channel]] = None,
+                      width: int = 0, n_lines: int = 0) -> bytes:
     if compression == NO_COMPRESSION or len(data) == raw_size:
         return data
     if compression in (ZIP_COMPRESSION, ZIPS_COMPRESSION):
         return _zip_postprocess(zlib.decompress(data))
+    if compression == RLE_COMPRESSION:
+        return _zip_postprocess(_rle_decode(data, raw_size))
+    if compression == PXR24_COMPRESSION:
+        return _pxr24_decode(data, channels, width, n_lines)
     raise ExrError(f"unsupported compression for read: {compression}")
 
 
@@ -243,8 +349,9 @@ def _parse_header(data: bytes):
     magic, version = struct.unpack_from("<ii", data, 0)
     if magic != MAGIC:
         raise ExrError("not an EXR file (bad magic)")
-    if version & 0x200:
-        raise ExrError("deep / multi-part EXR not supported")
+    if version & _BRIDGE_FLAGS:
+        raise ExrError("tiled / deep / multi-part EXR needs the OpenEXR "
+                       "bridge")
     buf = memoryview(data)
     pos = 8
     attrs = {}
@@ -272,9 +379,22 @@ def read_exr(path: str) -> Tuple[Dict[str, np.ndarray], dict]:
     """
     with open(path, "rb") as f:
         data = f.read()
+
+    def _bridge(reason: str):
+        from bcd_tpu.io import exr_native
+
+        if exr_native.available():
+            return exr_native.read_exr(path)
+        raise ExrError(
+            f"{reason}: the pure-numpy codec does not decode it and the "
+            "system-OpenEXR bridge is unavailable on this host")
+
+    magic, version = struct.unpack_from("<ii", data, 0)
+    if magic == MAGIC and version & _BRIDGE_FLAGS:
+        return _bridge("tiled / deep / multi-part EXR")
     channels, compression, (xmin, ymin, xmax, ymax), attrs, pos = _parse_header(data)
     if compression not in _LINES_PER_CHUNK:
-        raise ExrError(f"unsupported compression id {compression}")
+        return _bridge(f"compression id {compression} (PIZ/B44/DWA)")
     width = xmax - xmin + 1
     height = ymax - ymin + 1
     lines_per_chunk = _LINES_PER_CHUNK[compression]
@@ -293,7 +413,8 @@ def read_exr(path: str) -> Tuple[Dict[str, np.ndarray], dict]:
         y -= ymin
         payload = data[off + 8 : off + 8 + size]
         n_lines = min(lines_per_chunk, height - y)
-        raw = _decompress_chunk(payload, row_bytes * n_lines, compression)
+        raw = _decompress_chunk(payload, row_bytes * n_lines, compression,
+                                channels, width, n_lines)
         cursor = 0
         for line in range(y, y + n_lines):
             for ch in channels:
