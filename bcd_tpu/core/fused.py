@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from bcd_tpu.core.monoscale import _stride_center_mask
 from bcd_tpu.ops.fused_pallas import (
-    flat_geometry, from_flat, masks_moments, apply_scatter, to_flat)
+    flat_geometry, from_flat, masks_moments, apply_scatter, to_flat,
+    tri_geometry)
 from bcd_tpu.ops.solve_filter_pallas import LANES, solve_matrices
 
 
@@ -86,7 +87,8 @@ def denoise_tile_fused(cfg, color_pad, nb_pad, histo_pad, pixcov_pad,
 
     core2d = lambda a: a.reshape(tp, tps, a.shape[-1])[  # noqa: E731
         h : h + t, h : h + t]
-    m2_c = core2d(m2).reshape(p_raw, d * d)
+    _, tri_expand, dtri = tri_geometry(d)
+    m2_c = core2d(m2).reshape(p_raw, dtri)
     misc_c = core2d(misc)
     msum_c = misc_c[..., 0:d].reshape(p_raw, d)
     nov_c = misc_c[..., d : d + 6 * npx].reshape(p_raw, 6 * npx)
@@ -94,7 +96,10 @@ def denoise_tile_fused(cfg, color_pad, nb_pad, histo_pad, pixcov_pad,
 
     lanes = lambda a: jnp.moveaxis(  # noqa: E731
         jnp.pad(a, ((0, pad_px), (0, 0))), 0, -1)
-    m2_t = lanes(m2_c).reshape(d, d, p_pad)
+    # expand the triangle-packed moments AFTER the lane transpose (the
+    # transpose moves half the data; the row gather is a cheap major-axis
+    # copy)
+    m2_t = lanes(m2_c)[jnp.asarray(tri_expand)].reshape(d, d, p_pad)
     msum_t = lanes(msum_c)
     nov_t = lanes(nov_c)
     n_t = jnp.pad(n_c, ((0, pad_px),), constant_values=1.0)[None]

@@ -632,10 +632,13 @@ def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
         use_pallas = on_accel and not use_fused
     if tile_batch is None:
         tile_batch = 16 if use_pallas else 1
+    # default tile: 48 on the fused accelerator path (best measured
+    # throughput — halo overhead 1.72x vs 2.16x at 32; 64 exceeds VMEM),
+    # 32 elsewhere
     cfg = MonoscaleConfig(
         patch_radius=params.patch_radius,
         search_radius=params.search_window_radius,
-        tile=tile or 32,
+        tile=tile or (48 if use_fused else 32),
         use_pallas=use_pallas,
         use_fused=use_fused,
         tile_batch=tile_batch,

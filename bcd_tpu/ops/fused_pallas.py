@@ -58,12 +58,36 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
 def _align8(n: int) -> int:
     return -(-n // 8) * 8
+
+
+@functools.lru_cache(maxsize=None)
+def tri_geometry(d: int):
+    """Upper-triangle channel packing of a symmetric (d, d) matrix.
+
+    The masked second moment M2 is symmetric, so K1 accumulates only the
+    d(d+1)/2 unique entries (729 -> 378 channels for d=27 — half the FMA
+    work and half the VMEM accumulator traffic). Returns
+    (bases, expand_idx, dtri): channel of (k, j<=k... ) is
+    bases[k] + (j - k) for k <= j, and ``expand_idx`` (d*d,) row-gathers
+    the packed triangle back to the full row-major matrix."""
+    bases = np.zeros(d, np.int32)
+    acc = 0
+    for k in range(d):
+        bases[k] = acc
+        acc += d - k
+    idx = np.empty((d, d), np.int32)
+    for k in range(d):
+        for j in range(d):
+            a, b = (k, j) if k <= j else (j, k)
+            idx[k, j] = bases[a] + (b - a)
+    return bases, idx.reshape(-1), acc
 
 
 # perf-bisection toggles (dev only; see scripts/smoke_fused_tpu.py)
@@ -138,6 +162,7 @@ def _masks_moments_kernel(thr_ref, histo_ref, nb_ref, color_ref,
     npix = tp * tps
     d = 3 * (2 * r + 1) ** 2
     npatch = (2 * r + 1) ** 2
+    tri_base, _, dtri = tri_geometry(d)
     f32 = jnp.float32
     o = pl.program_id(0)
     dy = o - b
@@ -148,18 +173,22 @@ def _masks_moments_kernel(thr_ref, histo_ref, nb_ref, color_ref,
         # patch stacks: Pc[z, 3*qi+c] = color[z + q_qi, c] (the reference's
         # patch vector layout, DenoisingUnit.cpp:483-498); valid on
         # [qs, rows-qs) which covers every row the correlations read
-        pc_s[:] = jnp.zeros((rows, d), f32)
-        pcov_s[:] = jnp.zeros((rows, 6 * npatch), f32)
-        for qi, q in enumerate(_patch_offsets(r, tps)):
-            pc_s[qs : rows - qs, 3 * qi : 3 * qi + 3] = (
-                color_ref[qs + q : rows - qs + q, :])
-            pcov_s[qs : rows - qs, 6 * qi : 6 * qi + 6] = (
-                pixcov_ref[qs + q : rows - qs + q, :])
-        # patch outer products: G[z, d*k+j] = Pc[z,k] * Pc[z,j]
-        pc_all = pc_s[:]
-        for k in range(d):
-            g_s[:, d * k : d * (k + 1)] = pc_all[:, k : k + 1] * pc_all
-        m2acc_s[:] = jnp.zeros((npix, d * d), f32)
+        if "gbuild" not in _SKIP:
+            pc_s[:] = jnp.zeros((rows, d), f32)
+            pcov_s[:] = jnp.zeros((rows, 6 * npatch), f32)
+            for qi, q in enumerate(_patch_offsets(r, tps)):
+                pc_s[qs : rows - qs, 3 * qi : 3 * qi + 3] = (
+                    color_ref[qs + q : rows - qs + q, :])
+                pcov_s[qs : rows - qs, 6 * qi : 6 * qi + 6] = (
+                    pixcov_ref[qs + q : rows - qs + q, :])
+            # patch outer products, upper triangle only (M2 is symmetric):
+            # G[z, tri(k, j)] = Pc[z,k] * Pc[z,j], j >= k
+            pc_all = pc_s[:]
+            for k in range(d):
+                tb = int(tri_base[k])
+                g_s[:, tb : tb + d - k] = (
+                    pc_all[:, k : k + 1] * pc_all[:, k:])
+        m2acc_s[:] = jnp.zeros((npix, dtri), f32)
         macc_s[:] = jnp.zeros((npix, d), f32)
         novacc_s[:] = jnp.zeros((npix, 6 * npatch), f32)
         nacc_s[:] = jnp.zeros((npix, 1), f32)
@@ -181,64 +210,86 @@ def _masks_moments_kernel(thr_ref, histo_ref, nb_ref, color_ref,
 
     nd = 2 * b + 1
 
-    # --- chi^2 per-pixel numerator / kept-bin count, all dx lanes ---------
-    num_cols = []
-    cnt_cols = []
-    int_cols = []
-    for dx in range(-b, b + 1):
-        s = 8 + dx  # static sub-slice start within the aligned window
-        int_cols.append(valid_w[s : s + npix, 1:2])
-        if "chi2" in _SKIP:
-            num_cols.append(jnp.zeros((npix, 1), f32))
-            cnt_cols.append(jnp.ones((npix, 1), f32))
-            continue
-        hist_n = hist_w[s : s + npix, :]
-        nb_n = nb_w[s : s + npix, :]
-        hsum = hist_c + hist_n
-        keep = hsum > 1.0  # "TEMPORARY" bin gate, DenoisingUnit.cpp:379
-        diff = nb_n * hist_c - nb_c * hist_n
-        denom = jnp.where(keep, nb_c * nb_n * hsum, 1.0)
-        denom = jnp.where(denom == 0.0, 1.0, denom)
-        num_cols.append(jnp.sum(
-            jnp.where(keep, diff * diff / denom, 0.0), axis=1, keepdims=True))
-        cnt_cols.append(jnp.sum(keep.astype(f32), axis=1, keepdims=True))
+    if "masks" in _SKIP:  # machinery bisect: constant masks, no distances
+        mask13 = jnp.broadcast_to(center_valid, (npix, nd))
+    else:
+        # --- chi^2 per-pixel numerator / kept-bin count, all dx lanes -----
+        num_cols = []
+        cnt_cols = []
+        int_cols = []
+        for dx in range(-b, b + 1):
+            s = 8 + dx  # static sub-slice start within the aligned window
+            int_cols.append(valid_w[s : s + npix, 1:2])
+            if "chi2" in _SKIP:
+                num_cols.append(jnp.zeros((npix, 1), f32))
+                cnt_cols.append(jnp.ones((npix, 1), f32))
+                continue
+            hist_n = hist_w[s : s + npix, :]
+            nb_n = nb_w[s : s + npix, :]
+            hsum = hist_c + hist_n
+            keep = hsum > 1.0  # "TEMPORARY" bin gate, DenoisingUnit.cpp:379
+            diff = nb_n * hist_c - nb_c * hist_n
+            denom = jnp.where(keep, nb_c * nb_n * hsum, 1.0)
+            denom = jnp.where(denom == 0.0, 1.0, denom)
+            num_cols.append(jnp.sum(
+                jnp.where(keep, diff * diff / denom, 0.0), axis=1,
+                keepdims=True))
+            cnt_cols.append(jnp.sum(keep.astype(f32), axis=1, keepdims=True))
 
-    # --- patch box sum for all dx at once (lane-batched) -------------------
-    ncat = _pack_cols(num_cols + cnt_cols)  # (npix, 2*nd)
-    padded = jnp.pad(ncat, ((qs, qs), (0, 0)))
-    boxed = jnp.zeros((npix, 2 * nd), f32)
-    for q in _patch_offsets(r, tps):
-        boxed = boxed + padded[qs + q : qs + q + npix, :]
-    num_box, cnt_box = boxed[:, :nd], boxed[:, nd:]
-    dist = jnp.where(cnt_box > 0.0, num_box / jnp.maximum(cnt_box, 1.0),
-                     jnp.inf)  # (npix, nd)
+        # --- patch box sum for all dx at once (lane-batched) ---------------
+        ncat = _pack_cols(num_cols + cnt_cols)  # (npix, 2*nd)
+        if "box" in _SKIP:
+            boxed = ncat
+        else:
+            padded = jnp.pad(ncat, ((qs, qs), (0, 0)))
+            boxed = jnp.zeros((npix, 2 * nd), f32)
+            for q in _patch_offsets(r, tps):
+                boxed = boxed + padded[qs + q : qs + q + npix, :]
+        num_box, cnt_box = boxed[:, :nd], boxed[:, nd:]
+        dist = jnp.where(cnt_box > 0.0, num_box / jnp.maximum(cnt_box, 1.0),
+                         jnp.inf)  # (npix, nd)
 
-    # --- similar-set masks, all dx lanes ------------------------------------
-    interior_n = _pack_cols(int_cols)  # (npix, nd)
-    mask13 = (dist <= thr).astype(f32) * interior_n * center_valid
-    # the self offset is always selected for valid centers (its distance is
-    # identically 0 but can be 0/0 -> inf when every bin is gated)
-    col = jax.lax.broadcasted_iota(jnp.int32, (npix, nd), 1)
-    is_self = jnp.logical_and(dy == self_dy, col == b)
-    mask13 = jnp.where(is_self, center_valid, mask13)
+        # --- similar-set masks, all dx lanes -------------------------------
+        interior_n = _pack_cols(int_cols)  # (npix, nd)
+        mask13 = (dist <= thr).astype(f32) * interior_n * center_valid
+        # the self offset is always selected for valid centers (its
+        # distance is identically 0 but can be 0/0 -> inf when every bin
+        # is gated)
+        col = jax.lax.broadcasted_iota(jnp.int32, (npix, nd), 1)
+        is_self = jnp.logical_and(dy == self_dy, col == b)
+        mask13 = jnp.where(is_self, center_valid, mask13)
 
     mask_ref[0:r0, :] = jnp.zeros((r0, nd), f32)
     mask_ref[r0 + npix :, :] = jnp.zeros((rows - r0 - npix, nd), f32)
     mask_ref[r0 : r0 + npix, :] = mask13
 
     # --- masked moment accumulation (shifted lane-wide FMAs) ---------------
-    # each step reads+writes the scratch REF: carrying the (npix, d*d)
-    # accumulator as a live value across the unrolled dx loop makes
-    # Mosaic's register allocator spill multiple copies (measured: 107 MB
-    # of spill slots at tile=48, which overflows VMEM)
-    for dxi, dx in enumerate(range(-b, b + 1)):
-        s = 8 + dx
-        mask = mask13[:, dxi : dxi + 1]
-        if "m2" not in _SKIP:
-            m2acc_s[:] = m2acc_s[:] + mask * g_w[s : s + npix, :]
-        if "small" not in _SKIP:
-            macc_s[:] = macc_s[:] + mask * pc_w[s : s + npix, :]
-            novacc_s[:] = novacc_s[:] + mask * pcov_w[s : s + npix, :]
+    # dx contributions are summed as fused expressions so the big
+    # (npix, dtri) accumulator is read+written once per CHUNK of dx
+    # instead of once per dx. Chunking caps the live value: a full
+    # 13-term chain on a d*d-wide accumulator spills vregs at tile>=48
+    # (the round-1 107 MB failure mode); 4-term chunks compile and still
+    # cut accumulator VMEM traffic ~3x.
+    dxs = list(range(-b, b + 1))
+    if "m2" not in _SKIP:
+        for c0 in range(0, len(dxs), 4):
+            m2c = None
+            for dxi in range(c0, min(c0 + 4, len(dxs))):
+                s = 8 + dxs[dxi]
+                t = mask13[:, dxi : dxi + 1] * g_w[s : s + npix, :]
+                m2c = t if m2c is None else m2c + t
+            m2acc_s[:] = m2acc_s[:] + m2c
+    if "small" not in _SKIP:
+        mc = novc = None
+        for dxi, dx in enumerate(dxs):
+            s = 8 + dx
+            mask = mask13[:, dxi : dxi + 1]
+            t = mask * pc_w[s : s + npix, :]
+            mc = t if mc is None else mc + t
+            t = mask * pcov_w[s : s + npix, :]
+            novc = t if novc is None else novc + t
+        macc_s[:] = macc_s[:] + mc
+        novacc_s[:] = novacc_s[:] + novc
     nacc_s[:] += jnp.sum(mask13, axis=1, keepdims=True)
 
     @pl.when(o == 2 * b)
@@ -267,7 +318,8 @@ def masks_moments(histo_f, nb_f, color_f, pixcov_f, valid_f,
     Returns:
       masks (2b+1, ROWS, 2b+1): similar-set masks indexed [dyi, :, dxi]
           (rows outside the tp grid are zero),
-      m2    (tp*TPS, d*d): raw masked second moments sum_o w c c^T,
+      m2    (tp*TPS, d(d+1)/2): raw masked second moments sum_o w c c^T,
+          upper-triangle packed (expand with ``tri_geometry(d)[1]``),
       misc  (tp*TPS, 128): [0:d] masked color-patch sums, [d:d+6*npx]
           masked patch-cov sums, [d+6*npx] similar-set sizes n.
     """
@@ -278,6 +330,7 @@ def masks_moments(histo_f, nb_f, color_f, pixcov_f, valid_f,
     d = 3 * (2 * r + 1) ** 2
     npatch = (2 * r + 1) ** 2
     nd = 2 * b + 1
+    _, _, dtri = tri_geometry(d)
 
     kernel = functools.partial(
         _masks_moments_kernel, tp=tp, r=r, b=b, r0=r0, tps=tps, rows=rows,
@@ -300,21 +353,21 @@ def masks_moments(histo_f, nb_f, color_f, pixcov_f, valid_f,
         out_specs=[
             pl.BlockSpec((rows, nd), lambda o: (o, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((npix, d * d), lambda o: (0, 0),
+            pl.BlockSpec((npix, dtri), lambda o: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((npix, 128), lambda o: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nd * rows, nd), jnp.float32),
-            jax.ShapeDtypeStruct((npix, d * d), jnp.float32),
+            jax.ShapeDtypeStruct((npix, dtri), jnp.float32),
             jax.ShapeDtypeStruct((npix, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((rows, d), jnp.float32),            # pc_s
             pltpu.VMEM((rows, 6 * npatch), jnp.float32),   # pcov_s
-            pltpu.VMEM((rows, d * d), jnp.float32),        # g_s
-            pltpu.VMEM((npix, d * d), jnp.float32),        # m2acc_s
+            pltpu.VMEM((rows, dtri), jnp.float32),         # g_s
+            pltpu.VMEM((npix, dtri), jnp.float32),         # m2acc_s
             pltpu.VMEM((npix, d), jnp.float32),            # macc_s
             pltpu.VMEM((npix, 6 * npatch), jnp.float32),   # novacc_s
             pltpu.VMEM((npix, 1), jnp.float32),            # nacc_s
@@ -335,7 +388,7 @@ def _apply_scatter_kernel(masks_ref, a2t_ref, b2_ref, gate_ref,
     d = 3 * (2 * r + 1) ** 2
     f32 = jnp.float32
     o = pl.program_id(0)
-    dy = o - b
+    nd = 2 * b + 1
     qs = r * tps + r
 
     @pl.when(o == 0)
@@ -344,26 +397,54 @@ def _apply_scatter_kernel(masks_ref, a2t_ref, b2_ref, gate_ref,
         wb_s[:] = jnp.zeros((npix, d), f32)
         cnt_s[:] = jnp.zeros((npix, 1), f32)
 
-    # WA^T[z] += mask[z-o, o] * gate[z-o] * A2^T[z-o]: shifts are NEGATED
-    # relative to K1. a2t_ref packs A2 TRANSPOSED, a2t[p, k*d+j] =
-    # A2[p][j, k], so the contraction against the patch stack below is
-    # per-k contiguous.
-    q8 = (r0 - 8) // 8 - dy * (tps // 8)
-    a2_w = _aligned_window(a2t_ref, q8, npix)
-    b2_w = _aligned_window(b2_ref, q8, npix)
-    gate_w = _aligned_window(gate_ref, q8, npix)
+    # the grid has nd+1 steps: steps [0, nd) accumulate, step nd emits.
+    # Emitting in its OWN step keeps the accumulate windows (a 14 MB
+    # (npix, d*d) value among them) out of the emit block's register
+    # region — with both in one step the allocator spilled 108 MB of
+    # vregs at tile=48 even though each half fits comfortably alone.
+    @pl.when(o < nd)
+    def _accumulate():
+        dy = o - b
+        # WA^T[z] += mask[z-o, o] * gate[z-o] * A2^T[z-o]: shifts are
+        # NEGATED relative to K1. a2t_ref packs A2 TRANSPOSED,
+        # a2t[p, k*d+j] = A2[p][j, k], so the contraction against the
+        # patch stack below is per-k contiguous.
+        q8 = (r0 - 8) // 8 - dy * (tps // 8)
+        a2_w = _aligned_window(a2t_ref, q8, npix)
+        b2_w = _aligned_window(b2_ref, q8, npix)
+        gate_w = _aligned_window(gate_ref, q8, npix)
 
-    # per-step ref read-modify-write (see the K1 spill note above)
-    mask_w = _aligned_window(masks_ref, q8, npix)  # (npix+16, 2b+1)
-    for dxi, dx in enumerate(range(-b, b + 1)):
-        s = 8 - dx  # negated static remainder
-        w = (mask_w[s : s + npix, dxi : dxi + 1]
-             * gate_w[s : s + npix, :])
-        wa_s[:] = wa_s[:] + w * a2_w[s : s + npix, :]
-        wb_s[:] = wb_s[:] + w * b2_w[s : s + npix, :]
-        cnt_s[:] = cnt_s[:] + w
+        # fused multi-term expressions per grid step (see the K1 note):
+        # the big (npix, d*d) accumulator is read+written once per CHUNK
+        # of dx instead of once per dx. The chunk size caps the live
+        # value the register allocator must carry — a full 13-term chain
+        # on the d*d accumulator spills vregs (round 1's failure mode);
+        # 4-term chunks compile and still cut accumulator traffic ~3x.
+        mask_w = _aligned_window(masks_ref, q8, npix)  # (npix+16, 2b+1)
+        if "k4acc" in _SKIP:
+            return
+        dxs = list(range(-b, b + 1))
+        ws = {}
+        wbc = cc = None
+        for dxi, dx in enumerate(dxs):
+            s = 8 - dx  # negated static remainder
+            w = (mask_w[s : s + npix, dxi : dxi + 1]
+                 * gate_w[s : s + npix, :])
+            ws[dxi] = (s, w)
+            tb = w * b2_w[s : s + npix, :]
+            wbc = tb if wbc is None else wbc + tb
+            cc = w if cc is None else cc + w
+        wb_s[:] = wb_s[:] + wbc
+        cnt_s[:] = cnt_s[:] + cc
+        for c0 in range(0, len(dxs), 4):
+            wac = None
+            for dxi in range(c0, min(c0 + 4, len(dxs))):
+                s, w = ws[dxi]
+                ta = w * a2_w[s : s + npix, :]
+                wac = ta if wac is None else wac + ta
+            wa_s[:] = wa_s[:] + wac
 
-    @pl.when(o == 2 * b)
+    @pl.when(o == nd)
     def _emit():
         # candidate-center field F[z] = WA[z] c-patch[z] + wb[z] + fb-mean;
         # fallback pixels deposit their mean patch at z = p only
@@ -374,11 +455,12 @@ def _apply_scatter_kernel(masks_ref, a2t_ref, b2_ref, gate_ref,
         # (c-patch[z, k] = color[z + q_k], read as shifted color columns;
         # WA^T columns read straight from the scratch ref to keep the live
         # set small)
-        for qi, q in enumerate(_patch_offsets(r, tps)):
-            for c in range(3):
-                k = 3 * qi + c
-                ck = color_ref[r0 + q : r0 + q + npix, c : c + 1]
-                f = f + ck * wa_s[:, k * d : (k + 1) * d]
+        if "k4fil" not in _SKIP:
+            for qi, q in enumerate(_patch_offsets(r, tps)):
+                for c in range(3):
+                    k = 3 * qi + c
+                    ck = color_ref[r0 + q : r0 + q + npix, c : c + 1]
+                    f = f + ck * wa_s[:, k * d : (k + 1) * d]
         # aggregate: pixel y receives component group q of the candidate
         # field at y - q (Denoiser.cpp:434-470 semantics, one pass)
         out_ref[0:r0, :] = jnp.zeros((r0, 4), f32)
@@ -421,9 +503,10 @@ def apply_scatter(masks, a2t_f, b2_f, gate_f, fbm_f, color_f,
 
     out = pl.pallas_call(
         kernel,
-        grid=(nd,),
+        grid=(nd + 1,),  # steps [0, nd) accumulate; step nd emits
         in_specs=[
-            pl.BlockSpec((rows, nd), lambda o: (o, 0),
+            pl.BlockSpec((rows, nd),
+                         lambda o: (jnp.minimum(o, nd - 1), 0),
                          memory_space=pltpu.VMEM),
             const((rows, d * d)),
             const((rows, d)),

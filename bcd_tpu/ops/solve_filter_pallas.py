@@ -24,18 +24,19 @@ Two kernels share the math core:
 Math pipeline (all per pixel, vectorized over 128 lanes):
 - masked second moment   M2 = sum_o mask_o c_o c_o^T
 - empirical covariance   Cemp = (M2 - n m m^T)/(n-1)
-- eigenvalue clamp of (Cemp - N) via two-sided cyclic Jacobi with the
-  Brent-Luk systolic pairing: matrices live in a "player position" layout
-  where rotation pairs are ALWAYS (i, i+half) — static slab slices, no
-  gathers — and a fixed 5-slice permutation re-seats players per round.
+- eigenvalue clamp of (Cemp - N) via cyclic Jacobi with the Brent-Luk
+  systolic pairing in ONE-SIDED ACCUMULATION form (see
+  ``_jacobi_clamp_psd``): rotation pairs are always (i, i+half), and the
+  loop maintains Q / W = Q A with row-only plane-granular updates — no
+  sublane-axis shuffles at all.
 - floored inversions as Cholesky of (M + minEigen I): equivalent to the
   reference's eigenvalue floor except in eigendirections with
   lambda ~ minEigen, where the filtered deviations are themselves
   O(sqrt(lambda)) (validated immaterial against the float64 oracle).
-  The inverse is assembled as Y^T Y with Y = L^-1 from ONE forward
-  substitution — no back-substitution, and every product in the kernel is
-  a sum of row-outer-products (X^T Y = sum_k rowX_k^T rowY_k), which needs
-  only row slices.
+  ``solve_matrices`` never forms the inverse: it solves
+  (M + eps I) X = BD directly (forward + back substitution,
+  ``_make_spd_solve``); products are sums of row-outer-products
+  (X^T Y = sum_k rowX_k^T rowY_k), which need only row slices.
 - filter                 A2 = I - N inv2, b2 = N inv2 m
   (solve_filter additionally applies it: field_o = mask_o (A2 c_o + b2))
 
@@ -61,6 +62,21 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
+def _rsqrt_exact(x):
+    """rsqrt with one Newton-Raphson refinement.
+
+    The TPU VPU's rsqrt is an approximation, and the terminal forces
+    --xla_allow_excess_precision=true, which also canonicalizes
+    1/jnp.sqrt(x) into that same approximation — an explicit Newton step
+    is the only reliable way to full fp32 accuracy. Caught by the
+    on-hardware gate (make verify-tpu [1]): compiled-vs-twin rms was
+    5.5e-4 with raw rsqrt in the Cholesky pivots and Jacobi rotation
+    coefficients (non-orthogonal rotations compound over the ~108
+    rounds), vs 4e-7 interpreted."""
+    r = jax.lax.rsqrt(x)
+    return r * (1.5 - 0.5 * x * r * r)
+
+
 def _perm_slices(dp: int):
     """Brent-Luk re-seating permutation as 5 static slice ranges:
     new = concat(x[0:1], x[h:h+1], x[1:h-1], x[h+1:2h], x[h-1:h])."""
@@ -80,34 +96,40 @@ def _jacobi_clamp_psd(x, d, dp, sweeps, vt_s, lam_s):
     Brent-Luk Jacobi. Uses vt_s (dp, dp, P) / lam_s (dp, P) scratch refs;
     returns the clamped (d, d, P) value.
 
-    Each round's re-seating permutation is FUSED into the rotation concats
-    (one pass per axis instead of rotate-then-permute), and the diagonal is
-    carried analytically (app' = app - t apq, aqq' = aqq + t apq) instead of
-    re-extracted with a masked full-matrix reduction — together ~40% fewer
-    full-matrix passes per round. The final eigenvalues are still read from
-    the matrix itself (the tracked diagonal only feeds the rotation angles,
-    where fp drift is self-correcting)."""
+    ONE-SIDED ACCUMULATION form: instead of conjugating A two-sidedly
+    (whose column rotation mixes SUBLANE slices at misaligned offsets —
+    the dominant per-round cost on TPU), the loop maintains Q (the
+    accumulated rotations, rows = eigenvector estimates) and W = Q A.
+    Both update with ROW-ONLY plane-granular ops; the pivot entries of
+    the implicit two-sided matrix are recovered as inner products,
+    apq = <W[i,:], Q[i+half,:]>, one aligned multiply-reduce per round.
+    The diagonal is carried analytically (app' = app - t apq,
+    aqq' = aqq + t apq) for the rotation angles; the final eigenvalues
+    are read back exactly as lam_k = <W[k,:], Q[k,:]>.
+
+    The Brent-Luk re-seating [0, h, 1..h-2, h+1..2h-1, h-1] is FUSED into
+    the rotation concats (axis-0 = full vreg planes, no shuffles)."""
     P = x.shape[-1]
     f32 = jnp.float32
     half = dp // 2
     ri3p = jax.lax.broadcasted_iota(jnp.int32, (dp, dp, 1), 0)
     ci3p = jax.lax.broadcasted_iota(jnp.int32, (dp, dp, 1), 1)
     eye3p = (ri3p == ci3p).astype(f32)
-    sel3p = (ci3p == ri3p + half).astype(f32)
 
-    a0 = jnp.pad(x, ((0, dp - d), (0, dp - d), (0, 0)))
-    vt0 = jnp.broadcast_to(eye3p, (dp, dp, P))
-    d0 = jnp.sum(a0 * eye3p, axis=1)  # (dp, P)
+    w0 = jnp.pad(x, ((0, dp - d), (0, dp - d), (0, 0)))  # W = Q A, Q = I
+    q0 = jnp.broadcast_to(eye3p, (dp, dp, P))
+    d0 = jnp.sum(w0 * eye3p, axis=1)  # (dp, P)
 
     # permute0 row sources, expressed per rotated-half: rotated row i < half
-    # is U[i] (= c*top - s*bot), rotated row half+i is D[i]; the Brent-Luk
-    # re-seating [0, h, 1..h-2, h+1..2h-1, h-1] is then 5 static slices.
+    # is U[i] (= c*top - s*bot), rotated row half+i is D[i]; the re-seating
+    # is then 5 static slices.
     up_dn = [("u", 0, 1), ("d", 0, 1), ("u", 1, half - 1),
              ("d", 1, half), ("u", half - 1, half)]
 
     def jacobi_round(_, carry):
-        a, vt, dall = carry
-        apq = jnp.sum(a * sel3p, axis=1)[:half]  # (half, P)
+        w, q, dall = carry
+        # apq[i] = (Q A Q^T)[i, i+half] = sum_j W[i, j] Q[i+half, j]
+        apq = jnp.sum(w[:half] * q[half:], axis=1)  # (half, P)
         app, aqq = dall[:half], dall[half:]
         small = jnp.abs(apq) < 1e-30
         denom = jnp.where(small, 1.0, 2.0 * apq)
@@ -115,7 +137,7 @@ def _jacobi_clamp_psd(x, d, dp, sweeps, vt_s, lam_s):
         t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
         t = jnp.where(tau == 0.0, 1.0, t)
         t = jnp.where(small, 0.0, t)
-        c = 1.0 / jnp.sqrt(1.0 + t * t)  # (half, P)
+        c = _rsqrt_exact(1.0 + t * t)  # (half, P)
         s = t * c
 
         def rot_perm0(y):
@@ -131,36 +153,22 @@ def _jacobi_clamp_psd(x, d, dp, sweeps, vt_s, lam_s):
                                   + cn[p0:p1] * bot[p0:p1])
             return jnp.concatenate(pieces, axis=0)
 
-        def rot_perm1(y):
-            lef, rig = y[:, :half], y[:, half:]
-            cn, sn = c[None], s[None]
-            pieces = []
-            for kind, p0, p1 in up_dn:
-                if kind == "u":
-                    pieces.append(cn[:, p0:p1] * lef[:, p0:p1]
-                                  - sn[:, p0:p1] * rig[:, p0:p1])
-                else:
-                    pieces.append(sn[:, p0:p1] * lef[:, p0:p1]
-                                  + cn[:, p0:p1] * rig[:, p0:p1])
-            return jnp.concatenate(pieces, axis=1)
-
-        # row-permute commutes with column rotation, so
-        # P1(P0(colrot(rowrot(a)))) = rot_perm1(rot_perm0(a))
-        a = rot_perm1(rot_perm0(a))
-        vt = rot_perm0(vt)
+        w = rot_perm0(w)
+        q = rot_perm0(q)
         app2 = app - t * apq
         aqq2 = aqq + t * apq
         dall = jnp.concatenate(
             [app2[0:1], aqq2[0:1], app2[1 : half - 1], aqq2[1:half],
              app2[half - 1 : half]], axis=0)
-        return a, vt, dall
+        return w, q, dall
 
-    a_fin, vt_fin, _ = jax.lax.fori_loop(
-        0, sweeps * (dp - 1), jacobi_round, (a0, vt0, d0))
-    vt_s[:] = vt_fin
-    lam_s[:] = jnp.maximum(jnp.sum(a_fin * eye3p, axis=1), 0.0)  # (dp, P)
+    w_fin, q_fin, _ = jax.lax.fori_loop(
+        0, sweeps * (dp - 1), jacobi_round, (w0, q0, d0))
+    vt_s[:] = q_fin
+    # exact final eigenvalues: lam_k = (Q A Q^T)[k, k] = <W[k,:], Q[k,:]>
+    lam_s[:] = jnp.maximum(jnp.sum(w_fin * q_fin, axis=1), 0.0)  # (dp, P)
 
-    # clamped = sum_k lam_k vt_k^T vt_k (rows of vt are eigenvectors)
+    # clamped = sum_k lam_k q_k^T q_k (rows of Q are eigenvectors)
     def recon(k, acc):
         row = vt_s[pl.ds(k, 1)]  # (1, dp, P)
         lk = lam_s[pl.ds(k, 1)]  # (1, P)
@@ -186,7 +194,7 @@ def _make_spd_inverse(a_s, rhs_s, lt_s, y_s, d, eps):
             rowj = a_s[pl.ds(j, 1)]  # (1, d, P)
             pivot = jnp.sum(rowj * (col_iota == j).astype(f32), axis=1,
                             keepdims=True)  # (1, 1, P)
-            invp = jax.lax.rsqrt(jnp.maximum(pivot, 1e-30))
+            invp = _rsqrt_exact(jnp.maximum(pivot, 1e-30))
             colv = rowj * invp * (col_iota >= j).astype(f32)  # (1, d, P)
             lt_s[pl.ds(j, 1)] = colv  # LT row j = L column j
             a_s[:] = a_s[:] - jnp.swapaxes(colv, 0, 1) * colv
@@ -215,6 +223,63 @@ def _make_spd_inverse(a_s, rhs_s, lt_s, y_s, d, eps):
             0, d, yty_step, jnp.zeros(mat.shape, f32))
 
     return spd_inverse
+
+
+def _make_spd_solve(a_s, rhs_s, lt_s, d, eps):
+    """Closure: solve (M + eps I) X = RHS for SPD M via Cholesky with
+    forward + back substitution — one fewer O(d^3) pass than forming the
+    inverse and multiplying (no Y^T Y product). X is left in rhs_s.
+
+    The back pass uses only axis-0 row reads: rows of lt_s are rows of
+    L^T, so sum_i L^T[k,i] * row_i is an axis-0 contraction; rows i < k
+    still hold Y (L^T[k,i<k] = 0 contributes nothing) and row k's
+    pivot * Y[k] term is added back analytically."""
+    f32 = jnp.float32
+    _, _, eye3 = _eye3(d)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, d, 1), 1)
+
+    def spd_solve(mat, rhs_val):
+        a_s[:] = mat + eps * eye3
+        rhs_s[:] = rhs_val
+
+        def chol_step(j, carry):
+            rowj = a_s[pl.ds(j, 1)]  # (1, d, P)
+            pivot = jnp.sum(rowj * (col_iota == j).astype(f32), axis=1,
+                            keepdims=True)
+            invp = _rsqrt_exact(jnp.maximum(pivot, 1e-30))
+            colv = rowj * invp * (col_iota >= j).astype(f32)
+            lt_s[pl.ds(j, 1)] = colv  # LT row j = L column j
+            a_s[:] = a_s[:] - jnp.swapaxes(colv, 0, 1) * colv
+            return carry
+
+        jax.lax.fori_loop(0, d, chol_step, 0)
+
+        def fwd_step(k, carry):
+            ltrow = lt_s[pl.ds(k, 1)]  # (1, d, P): L column k
+            pivot = jnp.sum(ltrow * (col_iota == k).astype(f32), axis=1,
+                            keepdims=True)
+            yk = rhs_s[pl.ds(k, 1)] / pivot
+            rhs_s[:] = rhs_s[:] - jnp.swapaxes(ltrow, 0, 1) * yk
+            # L[i, k] = 0 for i < k: rows already holding Y are untouched
+            rhs_s[pl.ds(k, 1)] = yk
+            return carry
+
+        jax.lax.fori_loop(0, d, fwd_step, 0)
+
+        def back_step(i, carry):
+            k = d - 1 - i
+            ltrow = lt_s[pl.ds(k, 1)]  # (1, d, P): row k of L^T
+            pivot = jnp.sum(ltrow * (col_iota == k).astype(f32), axis=1,
+                            keepdims=True)
+            s_full = jnp.sum(jnp.swapaxes(ltrow, 0, 1) * rhs_s[:], axis=0,
+                             keepdims=True)  # (1, d, P)
+            yk = rhs_s[pl.ds(k, 1)]
+            rhs_s[pl.ds(k, 1)] = (yk - (s_full - pivot * yk)) / pivot
+            return carry
+
+        jax.lax.fori_loop(0, d, back_step, 0)
+
+    return spd_solve
 
 
 def _make_xty(d, P):
@@ -387,8 +452,8 @@ def solve_filter(C_t, mask_t, noise_t, n_t, m_t, min_eigen,
 
 def _solve_matrices_kernel(m2_ref, msum_ref, nov_ref, n_ref, eps_ref,
                            a2t_ref, b2_ref,
-                           a_s, vt_s, lam_s, lt_s, y_s, rhs_s, t2t_s,
-                           work_s, inv_s, bd_s, a1t_s, h_s, m_s,
+                           a_s, vt_s, lam_s, lt_s, rhs_s, t2t_s,
+                           work_s, bd_s, a1t_s, h_s, m_s,
                            *, d, npx, sweeps, lanes):
     dp = d + 1 if d % 2 else d
     P = lanes
@@ -411,18 +476,19 @@ def _solve_matrices_kernel(m2_ref, msum_ref, nov_ref, n_ref, eps_ref,
 
     clamped = _jacobi_clamp_psd(cemp - bd, d, dp, sweeps, vt_s, lam_s)
 
-    spd_inverse = _make_spd_inverse(a_s, rhs_s, lt_s, y_s, d, eps)
+    spd_solve = _make_spd_solve(a_s, rhs_s, lt_s, d, eps)
     xty = _make_xty(d, P)
 
-    # step 1: inv1 = (clamped + BD + eps I)^-1 ; A1^T = I - inv1 BD
-    inv_s[:] = spd_inverse(clamped + bd)
-    a1t_s[:] = jnp.broadcast_to(eye3, (d, d, P)) - xty(inv_s, bd_s)
+    # step 1: solve (clamped + BD + eps I) X = BD => X = inv1 BD;
+    # A1^T = I - X (one fewer O(d^3) pass than inverse-then-product)
+    spd_solve(clamped + bd, bd)
+    a1t_s[:] = jnp.broadcast_to(eye3, (d, d, P)) - rhs_s[:]
 
     # step 2 (closed form): cov2 = A1 Cemp A1^T
     h_s[:] = xty(work_s, a1t_s)  # H = Cemp A1^T
     cov2 = xty(a1t_s, h_s)
-    inv_s[:] = spd_inverse(cov2 + bd)
-    t2t_s[:] = xty(inv_s, bd_s)  # T2^T = inv2 BD; T2 = BD inv2
+    spd_solve(cov2 + bd, bd)  # X = inv2 BD = T2^T; T2 = BD inv2
+    t2t_s[:] = rhs_s[:]
 
     # A2^T = I - T2^T, in the k-major packing apply_scatter expects:
     # a2t[k, j] = A2[j, k]
@@ -475,11 +541,9 @@ def solve_matrices(m2_t, msum_t, nov_t, n_t, min_eigen,
         pltpu.VMEM((dp, dp, lanes), jnp.float32),  # vt_s
         pltpu.VMEM((dp, lanes), jnp.float32),      # lam_s
         dd(),                                      # lt_s
-        dd(),                                      # y_s
-        dd(),                                      # rhs_s
+        dd(),                                      # rhs_s (solve RHS/X)
         dd(),                                      # t2t_s
         dd(),                                      # work_s (Cemp)
-        dd(),                                      # inv_s
         dd(),                                      # bd_s
         dd(),                                      # a1t_s
         dd(),                                      # h_s

@@ -98,7 +98,7 @@ def main() -> int:
     ap.add_argument("--small", action="store_true",
                     help="540p quick run instead of 1080p")
     ap.add_argument("--scales", type=int, default=3)
-    ap.add_argument("--tile", type=int, default=32)
+    ap.add_argument("--tile", type=int, default=48)
     ap.add_argument("--rebaseline", action="store_true",
                     help="re-measure the CPU baseline even if cached")
     args = ap.parse_args()

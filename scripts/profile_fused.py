@@ -92,14 +92,17 @@ scan_time("K1 masks_moments", k1, *flat_args)
 
 # ---- stage 3: lane marshal for K2 -------------------------------------------
 def marshal_k2(m2, misc):
+    from bcd_tpu.ops.fused_pallas import tri_geometry
+
+    _, tri_expand, dtri = tri_geometry(d)
     core2d = lambda a: a.reshape(tp, tps, a.shape[-1])[  # noqa: E731
         h : h + t, h : h + t]
-    m2_c = core2d(m2).reshape(p_raw, d * d)
+    m2_c = core2d(m2).reshape(p_raw, dtri)
     misc_c = core2d(misc)
     pad_px = p_pad - p_raw
     lanes = lambda a: jnp.moveaxis(  # noqa: E731
         jnp.pad(a, ((0, pad_px), (0, 0))), 0, -1)
-    m2_t = lanes(m2_c).reshape(d, d, p_pad)
+    m2_t = lanes(m2_c)[jnp.asarray(tri_expand)].reshape(d, d, p_pad)
     msum_t = lanes(misc_c[..., 0:d].reshape(p_raw, d))
     nov_t = lanes(misc_c[..., d : d + 6 * npx].reshape(p_raw, 6 * npx))
     n_t = jnp.pad(misc_c[..., d + 6 * npx].reshape(p_raw), ((0, pad_px),),

@@ -134,7 +134,10 @@ def test_moments_match_oracle(rng):
     histo, nb, color, pixcov = _scene(rng)
     threshold = 0.25
     _, m2, misc = _run_k1(histo, nb, color, pixcov, threshold)
-    m2 = _unflat(m2).reshape(TP, TP, D, D)
+    from bcd_tpu.ops.fused_pallas import tri_geometry
+
+    _, tri_expand, _ = tri_geometry(D)
+    m2 = _unflat(m2)[..., tri_expand].reshape(TP, TP, D, D)
     misc = _unflat(misc)
 
     ref_masks = _oracle_masks(histo, nb, threshold)
