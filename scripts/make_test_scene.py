@@ -20,17 +20,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def render_clean(height: int, width: int) -> np.ndarray:
-    """Procedural 'ground truth' HDR image, (H, W, 3) float32."""
+    """Procedural 'ground truth' HDR image, (H, W, 3) float32.
+
+    Mix of content classes a real render has: piecewise-FLAT diffuse
+    panels (where neighboring pixels share a sample distribution, so the
+    chi^2 similarity test accepts them — the denoiser's MAIN path), a
+    smooth lighting gradient, a high-frequency checker band (detail /
+    fallback content), and an emissive blob (histogram saturation +
+    spike-filter food). An earlier everything-is-gradient version made
+    every patch statistically unique and silently pushed the WHOLE image
+    down the fallback path."""
     y, x = np.meshgrid(
         np.linspace(0, 1, height), np.linspace(0, 1, width), indexing="ij"
     )
-    r = 0.5 + 0.5 * np.sin(8 * np.pi * x) * np.cos(6 * np.pi * y)
-    g = 0.4 + 0.4 * np.cos(14 * np.pi * (x + y))
-    b = 0.3 + 0.6 * (np.sin(3 * np.pi * x * y) ** 2)
-    img = np.stack([r, g, b], axis=-1)
-    # checkerboard albedo + a bright emissive blob
-    checker = ((np.floor(x * 12) + np.floor(y * 8)) % 2)[..., None]
-    img = img * (0.6 + 0.4 * checker)
+    # 3x2 flat diffuse panels with distinct albedos
+    palette = np.array([
+        [0.75, 0.25, 0.20], [0.25, 0.55, 0.25], [0.22, 0.30, 0.70],
+        [0.65, 0.60, 0.20], [0.55, 0.25, 0.60], [0.60, 0.60, 0.60],
+    ], np.float32)
+    panel = (np.minimum(np.floor(x * 3), 2)
+             + 3 * np.minimum(np.floor(y * 2), 1)).astype(np.int32)
+    img = palette[panel]
+    # smooth lighting gradient over the panels
+    img = img * (0.7 + 0.5 * x + 0.2 * y)[..., None]
+    # high-frequency checker band along the bottom quarter
+    checker = ((np.floor(x * 24) + np.floor(y * 16)) % 2)[..., None]
+    band = (y > 0.75)[..., None]
+    img = np.where(band, img * (0.5 + 0.5 * checker), img)
+    # emissive blob
     blob = np.exp(-(((x - 0.7) ** 2 + (y - 0.3) ** 2) / 0.004))[..., None]
     img = img + 6.0 * blob
     return img.astype(np.float32)
@@ -43,7 +60,16 @@ def sample_noisy(clean: np.ndarray, spp: int, seed: int = 0,
     Returns (H, W, spp, 3) float32."""
     rng = np.random.default_rng(seed)
     h, w, _ = clean.shape
-    sigma = 0.2 + 0.6 * rng.random((h, w, 1, 1))
+    # spatially SMOOTH noise level: real renderers' variance varies with
+    # scene content, not i.i.d. per pixel — per-pixel-random sigma makes
+    # every patch's histogram distribution unique, so the chi^2 test
+    # rejects all neighbors and the whole image silently takes the
+    # fallback path (caught via the on-TPU gate: golden tests never
+    # exercised the solve)
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w),
+                         indexing="ij")
+    sigma = (0.3 + 0.25 * np.sin(2 * np.pi * xx) *
+             np.cos(2 * np.pi * yy))[..., None, None]
     # zero-mean multiplicative noise (lognormal with E[x] = 1), so the
     # sample mean is an unbiased estimator of the clean image
     noise = rng.lognormal(mean=-0.5, sigma=1.0, size=(h, w, spp, 3)) - 1.0

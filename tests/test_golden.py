@@ -37,9 +37,9 @@ def test_monoscale_matches_golden():
 
     mean, nb, histo, cov = _inputs()
     golden = image_io.load_multi_channels_exr(
-        os.path.join(GOLDEN_DIR, "out_mono_b3.exr"))
+        os.path.join(GOLDEN_DIR, "out_mono_b6.exr"))
     out = denoise_monoscale(mean, nb, histo, cov,
-                            DenoiserParameters(search_window_radius=3),
+                            DenoiserParameters(search_window_radius=6),
                             tile=16)
     assert rmse(out, golden) < 1e-4
 
@@ -49,8 +49,8 @@ def test_multiscale_matches_golden():
 
     mean, nb, histo, cov = _inputs()
     golden = image_io.load_multi_channels_exr(
-        os.path.join(GOLDEN_DIR, "out_multi2_b3.exr"))
+        os.path.join(GOLDEN_DIR, "out_multi2_b6.exr"))
     out = denoise_multiscale(mean, nb, histo, cov,
-                             DenoiserParameters(search_window_radius=3),
+                             DenoiserParameters(search_window_radius=6),
                              nb_of_scales=2, tile=16)
     assert rmse(out, golden) < 1e-4
