@@ -142,23 +142,45 @@ def denoise_multiscale_spatial(
     The pyramid ops (2x2 reductions, magic-kernel upsample, band merge) run
     under jit on NamedSharding-annotated arrays — XLA inserts the boundary
     collectives — while each scale's denoise uses the halo-exchange
-    monoscale path. Every scale's width must stay divisible by the axis
-    size with slabs at least halo wide, which bounds nb_of_scales for a
-    given mesh (e.g. 4K across 8 devices supports the default 3 scales)."""
+    monoscale path.
+
+    Scales whose geometry stops being shardable (width not divisible by
+    the axis size, or slabs narrower than the halo) are RESHARDED
+    gracefully: the pyramid is gathered once at the last shardable scale
+    and the remaining coarse scales run replicated on every device. The
+    4^s cost model makes this cheap — scale s carries only 4^-s of the
+    total work (e.g. falling back at scale 2 of 3 redundantly computes
+    < 7% of the frame's FLOPs, with zero extra communication)."""
+    from bcd_tpu.core.multiscale import denoise_multiscale
     from bcd_tpu.ops import resample
 
     n = mesh.shape[axis]
     sharding = NamedSharding(mesh, P(None, axis, None))
+    replicated = NamedSharding(mesh, P(None, None, None))
+    halo = MonoscaleConfig(
+        patch_radius=params.patch_radius,
+        search_radius=params.search_window_radius,
+    ).halo
+
+    def shardable(w: int) -> bool:
+        return w % n == 0 and w // n >= halo
+
+    if not shardable(jnp.shape(color)[1]):
+        # not even the finest scale shards: run the plain driver replicated
+        rep = [jax.device_put(jnp.asarray(a, jnp.float32), replicated)
+               for a in (color, nb, histo, cov)]
+        return denoise_multiscale(
+            *rep, params, nb_of_scales=nb_of_scales, tile=tile)
 
     inputs = [tuple(
         jax.device_put(jnp.asarray(a, jnp.float32), sharding)
         for a in (color, nb, histo, cov))]
+    n_sharded = nb_of_scales  # scales [0, n_sharded) run sharded
     for s in range(nb_of_scales - 1):
         c, nn, h, sc = inputs[-1]
-        if (c.shape[1] // 2) % n:
-            raise ValueError(
-                f"scale {s+1} width {c.shape[1] // 2} not divisible by the "
-                f"mesh axis size {n}; reduce nb_of_scales")
+        if not shardable(c.shape[1] // 2):
+            n_sharded = s + 1
+            break
         down = jax.jit(
             lambda c, nn, h, sc: (
                 resample.downscale_average(c),
@@ -171,7 +193,21 @@ def denoise_multiscale_spatial(
         inputs.append(down)
 
     merged = None
-    for scale in range(nb_of_scales - 1, -1, -1):
+    start = nb_of_scales - 1
+    if n_sharded < nb_of_scales:
+        # gather the last shardable scale and run the remaining coarse
+        # scales (including that scale's own denoise + merge) replicated
+        rep = [jax.device_put(a, replicated) for a in inputs[n_sharded - 1]]
+        merged = jax.device_put(
+            denoise_multiscale(
+                *rep, params,
+                nb_of_scales=nb_of_scales - n_sharded + 1, tile=tile),
+            sharding)
+        start = n_sharded - 2
+        if start < 0:
+            return merged
+
+    for scale in range(start, -1, -1):
         c, nn, h, sc = inputs[scale]
         out = denoise_monoscale_spatial(
             c, nn, h, sc, params, mesh, axis=axis, tile=tile)
