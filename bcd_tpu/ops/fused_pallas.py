@@ -272,9 +272,9 @@ def _masks_moments_kernel(thr_ref, histo_ref, nb_ref, color_ref,
     # cut accumulator VMEM traffic ~3x.
     dxs = list(range(-b, b + 1))
     if "m2" not in _SKIP:
-        for c0 in range(0, len(dxs), 4):
+        for c0 in range(0, len(dxs), 7):
             m2c = None
-            for dxi in range(c0, min(c0 + 4, len(dxs))):
+            for dxi in range(c0, min(c0 + 7, len(dxs))):
                 s = 8 + dxs[dxi]
                 t = mask13[:, dxi : dxi + 1] * g_w[s : s + npix, :]
                 m2c = t if m2c is None else m2c + t
@@ -436,9 +436,9 @@ def _apply_scatter_kernel(masks_ref, a2t_ref, b2_ref, gate_ref,
             cc = w if cc is None else cc + w
         wb_s[:] = wb_s[:] + wbc
         cnt_s[:] = cnt_s[:] + cc
-        for c0 in range(0, len(dxs), 4):
+        for c0 in range(0, len(dxs), 7):
             wac = None
-            for dxi in range(c0, min(c0 + 4, len(dxs))):
+            for dxi in range(c0, min(c0 + 7, len(dxs))):
                 s, w = ws[dxi]
                 ta = w * a2_w[s : s + npix, :]
                 wac = ta if wac is None else wac + ta

@@ -175,7 +175,7 @@ def _jacobi_clamp_psd(x, d, dp, sweeps, vt_s, lam_s):
         return acc + jnp.swapaxes(row, 0, 1) * (row * lk[None])
 
     return jax.lax.fori_loop(
-        0, dp, recon, jnp.zeros((dp, dp, P), f32))[:d, :d]
+        0, dp, recon, jnp.zeros((dp, dp, P), f32), unroll=dp)[:d, :d]
 
 
 def _make_spd_inverse(a_s, rhs_s, lt_s, y_s, d, eps):
@@ -252,7 +252,7 @@ def _make_spd_solve(a_s, rhs_s, lt_s, d, eps):
             a_s[:] = a_s[:] - jnp.swapaxes(colv, 0, 1) * colv
             return carry
 
-        jax.lax.fori_loop(0, d, chol_step, 0)
+        jax.lax.fori_loop(0, d, chol_step, 0, unroll=d)
 
         def fwd_step(k, carry):
             ltrow = lt_s[pl.ds(k, 1)]  # (1, d, P): L column k
@@ -264,7 +264,7 @@ def _make_spd_solve(a_s, rhs_s, lt_s, d, eps):
             rhs_s[pl.ds(k, 1)] = yk
             return carry
 
-        jax.lax.fori_loop(0, d, fwd_step, 0)
+        jax.lax.fori_loop(0, d, fwd_step, 0, unroll=d)
 
         def back_step(i, carry):
             k = d - 1 - i
@@ -277,7 +277,7 @@ def _make_spd_solve(a_s, rhs_s, lt_s, d, eps):
             rhs_s[pl.ds(k, 1)] = (yk - (s_full - pivot * yk)) / pivot
             return carry
 
-        jax.lax.fori_loop(0, d, back_step, 0)
+        jax.lax.fori_loop(0, d, back_step, 0, unroll=d)
 
     return spd_solve
 
@@ -293,7 +293,7 @@ def _make_xty(d, P):
             return acc + jnp.swapaxes(xr, 0, 1) * yr
 
         return jax.lax.fori_loop(
-            0, d, step, jnp.zeros((d, d, P), jnp.float32))
+            0, d, step, jnp.zeros((d, d, P), jnp.float32), unroll=d)
 
     return xty
 

@@ -123,7 +123,10 @@ def main() -> int:
     color, nb, histo, cov = make_inputs(height, width)
 
     backend = jax.devices()[0].platform
-    key = f"{height}x{width}_s{args.scales}"
+    # _v2: scene generator changed (flat-panel content, smooth noise —
+    # the old cached baselines measured an all-fallback workload where
+    # the native engine skips every solve)
+    key = f"{height}x{width}_s{args.scales}_v2"
 
     # --- CPU baseline (cached)
     baseline = {}
