@@ -377,7 +377,7 @@ def denoise_tile(cfg: MonoscaleConfig, color_pad, nb_pad, histo_pad, pixcov_pad,
         m_t = padp(m_flat)
 
         field_t = solve_filter(
-            c_t, mask_t, noise_t, n_t, m_t, min_eigen,
+            c_t, mask_t, noise_t, n_t, m_t, min_eigen, npx=npx,
             interpret=jax.default_backend() == "cpu",
         )
         # gate + fallback in the lane layout, then one transpose for the
@@ -608,17 +608,17 @@ def _denoise_image(cfg: MonoscaleConfig, color, nb, histo, cov,
     return jnp.where(cnt[..., None] > 0, out / jnp.maximum(cnt, 1.0)[..., None], 0.0)
 
 
-def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
-                      tile: int | None = None,
-                      use_pallas: bool | None = None,
-                      tile_batch: int | None = None,
-                      use_fused: bool | None = None,
-                      skip_stride: int = 1,
-                      progress_callback: Callable[[float], None] | None = None):
-    """Denoise one scale. Arrays are (H, W, C) float32 (numpy or jax);
-    returns a jax array (H, W, 3). On accelerator backends the fully fused
-    K1->K2->K4 spatial pipeline is the default (measured fastest on v5e);
-    pass ``use_fused``/``use_pallas``/``tile_batch`` to override."""
+def auto_engine_config(params: DenoiserParameters,
+                       tile: int | None = None,
+                       use_pallas: bool | None = None,
+                       tile_batch: int | None = None,
+                       use_fused: bool | None = None,
+                       skip_stride: int = 1,
+                       report_progress: bool = False) -> MonoscaleConfig:
+    """Resolve the engine configuration for the current backend — the ONE
+    place engine selection happens, shared by ``denoise_monoscale`` and the
+    scale-out drivers (bcd_tpu/parallel/) so sharded slabs run exactly the
+    same (fast) engine as single-device frames."""
     on_accel = jax.default_backend() != "cpu"
     if use_fused is None:
         # the fused spatial kernels only support the reference's
@@ -635,7 +635,7 @@ def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
     # default tile: 48 on the fused accelerator path (best measured
     # throughput — halo overhead 1.72x vs 2.16x at 32; 64 exceeds VMEM),
     # 32 elsewhere
-    cfg = MonoscaleConfig(
+    return MonoscaleConfig(
         patch_radius=params.patch_radius,
         search_radius=params.search_window_radius,
         tile=tile or (48 if use_fused else 32),
@@ -643,6 +643,24 @@ def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
         use_fused=use_fused,
         tile_batch=tile_batch,
         skip_stride=skip_stride,
+        report_progress=report_progress,
+    )
+
+
+def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
+                      tile: int | None = None,
+                      use_pallas: bool | None = None,
+                      tile_batch: int | None = None,
+                      use_fused: bool | None = None,
+                      skip_stride: int = 1,
+                      progress_callback: Callable[[float], None] | None = None):
+    """Denoise one scale. Arrays are (H, W, C) float32 (numpy or jax);
+    returns a jax array (H, W, 3). On accelerator backends the fully fused
+    K1->K2->K4 spatial pipeline is the default (measured fastest on v5e);
+    pass ``use_fused``/``use_pallas``/``tile_batch`` to override."""
+    cfg = auto_engine_config(
+        params, tile=tile, use_pallas=use_pallas, tile_batch=tile_batch,
+        use_fused=use_fused, skip_stride=skip_stride,
         report_progress=progress_callback is not None,
     )
     args = (

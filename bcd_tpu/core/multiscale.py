@@ -42,6 +42,8 @@ def denoise_multiscale(
     tile: Optional[int] = None,
     progress_callback: Optional[Callable[[float], None]] = None,
     skip_stride: int = 1,
+    use_fused: Optional[bool] = None,
+    use_pallas: Optional[bool] = None,
 ):
     """Full multiscale denoise; returns a jax array (H, W, 3)."""
     color = jnp.asarray(color, jnp.float32)
@@ -71,6 +73,7 @@ def denoise_multiscale(
             scale_cb = lambda p, m=mapper: progress_callback(m(p))  # noqa: E731
         out = denoise_monoscale(c, n, h, sc, params, tile=tile,
                                 skip_stride=skip_stride,
+                                use_fused=use_fused, use_pallas=use_pallas,
                                 progress_callback=scale_cb)
         if progress_callback is not None:
             progress_callback(mapper(1.0))

@@ -108,7 +108,11 @@ class AppState:
             with self.lock:
                 self.error = f"{type(e).__name__}: {e}"
         finally:
-            self.busy = False
+            # under the lock: clearing busy after the progress=1.0 publish
+            # but outside it left a window where a /denoise was spuriously
+            # rejected and its persisted error masked state
+            with self.lock:
+                self.busy = False
 
     def view_image(self, view: str, exposure: float, gamma: float):
         if view == "output" and self.output is not None:
@@ -337,11 +341,14 @@ class Handler(BaseHTTPRequestHandler):
             self._json(resp)
         elif url.path == "/image":
             q = parse_qs(url.query)
-            img = STATE.view_image(
-                q.get("view", ["input"])[0],
-                float(q.get("exposure", ["0"])[0]),
-                float(q.get("gamma", ["2.2"])[0]),
-            )
+            # under the lock: a render during denoise completion must not
+            # see output/prefiltered mid-swap
+            with STATE.lock:
+                img = STATE.view_image(
+                    q.get("view", ["input"])[0],
+                    float(q.get("exposure", ["0"])[0]),
+                    float(q.get("gamma", ["2.2"])[0]),
+                )
             payload = encode_png(img)
             self.send_response(200)
             self.send_header("Content-Type", "image/png")

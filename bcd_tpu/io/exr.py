@@ -8,9 +8,10 @@ what the BCD pipeline needs and a little more:
 - single-part scanline images, increasing line order
 - channel types HALF and FLOAT (read UINT too), x/y sampling 1
 - compression NONE, ZIPS (1 line/chunk), ZIP (16 lines/chunk) and RLE for
-  read+write; PXR24 (16 lines/chunk, lossy-float deflate) and PIZ
-  (32 lines/chunk, wavelet + Huffman — what most OpenEXR-based renderers
-  emit by default) for read
+  read+write; PXR24 (16 lines/chunk, lossy-float deflate) for read.
+  PIZ (what most OpenEXR-based renderers emit by default), B44/B44A and
+  DWAA/DWAB route to the system-libOpenEXR bridge
+  (:mod:`bcd_tpu.io.exr_native`), as do tiled/deep/multipart files
 - arbitrary channel names; the BCD stat buffers use ``Bin_%04d`` FLOAT
   channels (reference io_exr.cpp writeMultiImageEXR), color images use
   R/G/B(/A) HALF channels (reference writes via RgbaOutputFile)
@@ -119,26 +120,42 @@ def _zip_postprocess(data: bytes) -> bytes:
 
 def _rle_encode(data: bytes) -> bytes:
     """OpenEXR run-length scheme: [count-1, byte] for runs >= 3,
-    [-(count), literal bytes] otherwise (signed-char counts, max 127)."""
-    out = bytearray()
+    [-(count), literal bytes] otherwise (signed-char counts, max 127).
+
+    Run detection is vectorized (numpy diff over the buffer); the Python
+    loop below walks run/literal SEGMENTS, not bytes — a per-byte loop took
+    minutes on a 1080p multi-channel stat buffer."""
     n = len(data)
-    i = 0
-    while i < n:
-        run = 1
-        while i + run < n and run < 128 and data[i + run] == data[i]:
-            run += 1
-        if run >= 3:
-            out.append(run - 1)
-            out.append(data[i])
-            i += run
-        else:
-            lit = i
-            # a literal segment extends until a run of >= 3 starts
-            while (i < n and i - lit < 127
-                   and not (i + 2 < n and data[i] == data[i + 1] == data[i + 2])):
-                i += 1
-            out.append(256 - (i - lit))  # -(count) as unsigned byte
-            out += data[lit:i]
+    if n == 0:
+        return b""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    starts = np.concatenate(
+        ([0], np.flatnonzero(arr[1:] != arr[:-1]) + 1))
+    lens = np.diff(np.concatenate((starts, [n])))
+    is_run = lens >= 3
+    out = bytearray()
+    i, nseg = 0, len(starts)
+    while i < nseg:
+        if is_run[i]:
+            left, v = int(lens[i]), data[int(starts[i])]
+            while left > 0:
+                c = min(left, 128)
+                out.append(c - 1)
+                out.append(v)
+                left -= c
+            i += 1
+        else:  # merge consecutive short segments into one literal span
+            j = i
+            while j < nseg and not is_run[j]:
+                j += 1
+            s = int(starts[i])
+            e = int(starts[j]) if j < nseg else n
+            while s < e:
+                c = min(e - s, 127)
+                out.append(256 - c)  # -(count) as unsigned byte
+                out += data[s : s + c]
+                s += c
+            i = j
     return bytes(out)
 
 
@@ -346,6 +363,8 @@ def read_exr_header(path: str):
 
 
 def _parse_header(data: bytes):
+    if len(data) < 8:
+        raise ExrError("not an EXR file (truncated)")
     magic, version = struct.unpack_from("<ii", data, 0)
     if magic != MAGIC:
         raise ExrError("not an EXR file (bad magic)")
@@ -385,10 +404,14 @@ def read_exr(path: str) -> Tuple[Dict[str, np.ndarray], dict]:
 
         if exr_native.available():
             return exr_native.read_exr(path)
+        detail = exr_native.build_error()
         raise ExrError(
             f"{reason}: the pure-numpy codec does not decode it and the "
-            "system-OpenEXR bridge is unavailable on this host")
+            "system-OpenEXR bridge is unavailable on this host"
+            + (f" ({detail})" if detail else ""))
 
+    if len(data) < 8:
+        raise ExrError("not an EXR file (truncated)")
     magic, version = struct.unpack_from("<ii", data, 0)
     if magic == MAGIC and version & _BRIDGE_FLAGS:
         return _bridge("tiled / deep / multi-part EXR")

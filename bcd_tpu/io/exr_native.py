@@ -30,18 +30,37 @@ IMF_NONE, IMF_RLE, IMF_ZIPS, IMF_ZIP, IMF_PIZ, IMF_PXR24, IMF_B44, \
     IMF_B44A, IMF_DWAA, IMF_DWAB = range(10)
 
 
+def _toolchain_flags() -> list:
+    """Compile/link flags for the system libOpenEXR. pkg-config is the
+    authoritative source (it tracks the installed version's library
+    suffixes, e.g. -lOpenEXR-3_2 on OpenEXR 3.2 hosts); the hardcoded 3_1
+    names are only the fallback for hosts without .pc files."""
+    try:
+        out = subprocess.run(
+            ["pkg-config", "--cflags", "--libs", "OpenEXR"],
+            check=True, capture_output=True, text=True,
+        ).stdout.split()
+        if out:
+            return out
+    except Exception:
+        pass
+    return ["-I/usr/include/OpenEXR", "-I/usr/include/Imath",
+            "-lOpenEXR-3_1", "-lIex-3_1", "-lIlmThread-3_1", "-lImath-3_1"]
+
+
 def build_bridge(force: bool = False) -> str:
     if force or not os.path.exists(_LIB_PATH) or (
         os.path.exists(_SRC_PATH)
         and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH)
     ):
-        subprocess.run(
+        proc = subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC_PATH,
-             "-o", _LIB_PATH, "-I/usr/include/OpenEXR",
-             "-I/usr/include/Imath", "-lOpenEXR-3_1", "-lIex-3_1",
-             "-lIlmThread-3_1", "-lImath-3_1"],
-            check=True, capture_output=True, text=True,
+             "-o", _LIB_PATH] + _toolchain_flags(),
+            capture_output=True, text=True,
         )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"exr_bridge build failed: {proc.stderr.strip()[-500:]}")
     return _LIB_PATH
 
 
@@ -78,6 +97,13 @@ def available() -> bool:
     except Exception as e:  # missing compiler or OpenEXR dev files
         _build_error = str(e)
         return False
+
+
+def build_error() -> Optional[str]:
+    """Why the bridge is unavailable (None when it works or was never
+    probed); surfaced in exr.py's ExrError so codec failures are
+    diagnosable instead of a bare 'bridge unavailable'."""
+    return _build_error
 
 
 def _check(lib, rc: int) -> None:

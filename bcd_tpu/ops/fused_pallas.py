@@ -95,6 +95,10 @@ import os as _os
 
 _SKIP = set(_os.environ.get("BCD_FUSED_SKIP", "").split(","))
 
+# dx terms fused into ONE accumulator update expression in K1/K4 (measured
+# widest that compiles without vreg spill at tile=48; 13 spills)
+_DX_CHUNK = 7
+
 
 def flat_geometry(tp: int, b: int, r: int):
     """Row geometry of the flat layout: (TPS, R0, ROWS).
@@ -268,13 +272,13 @@ def _masks_moments_kernel(thr_ref, histo_ref, nb_ref, color_ref,
     # (npix, dtri) accumulator is read+written once per CHUNK of dx
     # instead of once per dx. Chunking caps the live value: a full
     # 13-term chain on a d*d-wide accumulator spills vregs at tile>=48
-    # (the round-1 107 MB failure mode); 4-term chunks compile and still
-    # cut accumulator VMEM traffic ~3x.
+    # (the round-1 107 MB failure mode); _DX_CHUNK-wide chunks compile
+    # and still cut accumulator VMEM traffic ~6x.
     dxs = list(range(-b, b + 1))
     if "m2" not in _SKIP:
-        for c0 in range(0, len(dxs), 7):
+        for c0 in range(0, len(dxs), _DX_CHUNK):
             m2c = None
-            for dxi in range(c0, min(c0 + 7, len(dxs))):
+            for dxi in range(c0, min(c0 + _DX_CHUNK, len(dxs))):
                 s = 8 + dxs[dxi]
                 t = mask13[:, dxi : dxi + 1] * g_w[s : s + npix, :]
                 m2c = t if m2c is None else m2c + t
@@ -416,10 +420,11 @@ def _apply_scatter_kernel(masks_ref, a2t_ref, b2_ref, gate_ref,
 
         # fused multi-term expressions per grid step (see the K1 note):
         # the big (npix, d*d) accumulator is read+written once per CHUNK
-        # of dx instead of once per dx. The chunk size caps the live
-        # value the register allocator must carry — a full 13-term chain
-        # on the d*d accumulator spills vregs (round 1's failure mode);
-        # 4-term chunks compile and still cut accumulator traffic ~3x.
+        # of dx instead of once per dx. The chunk size (_DX_CHUNK) caps
+        # the live value the register allocator must carry — a full
+        # 13-term chain on the d*d accumulator spills vregs (round 1's
+        # failure mode); _DX_CHUNK-wide chunks compile and still cut
+        # accumulator traffic ~6x.
         mask_w = _aligned_window(masks_ref, q8, npix)  # (npix+16, 2b+1)
         if "k4acc" in _SKIP:
             return
@@ -436,9 +441,9 @@ def _apply_scatter_kernel(masks_ref, a2t_ref, b2_ref, gate_ref,
             cc = w if cc is None else cc + w
         wb_s[:] = wb_s[:] + wbc
         cnt_s[:] = cnt_s[:] + cc
-        for c0 in range(0, len(dxs), 7):
+        for c0 in range(0, len(dxs), _DX_CHUNK):
             wac = None
-            for dxi in range(c0, min(c0 + 7, len(dxs))):
+            for dxi in range(c0, min(c0 + _DX_CHUNK, len(dxs))):
                 s, w = ws[dxi]
                 ta = w * a2_w[s : s + npix, :]
                 wac = ta if wac is None else wac + ta

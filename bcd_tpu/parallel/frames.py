@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from bcd_tpu.core.monoscale import MonoscaleConfig, _denoise_image
+from bcd_tpu.core.monoscale import _denoise_image, auto_engine_config
 from bcd_tpu.core.multiscale import denoise_multiscale
 from bcd_tpu.params import DenoiserParameters
 
@@ -26,22 +26,24 @@ def denoise_frames(
     axis: str = "frames",
     nb_of_scales: int = 1,
     tile: Optional[int] = None,
+    use_fused: Optional[bool] = None,
+    use_pallas: Optional[bool] = None,
 ):
     """Denoise a batch of frames: arrays (F, H, W, C). With a mesh, the
     frame axis is sharded over ``mesh[axis]`` (F divisible by its size);
     without one, the batch is vmapped on the current device."""
-    cfg = MonoscaleConfig(
-        patch_radius=params.patch_radius,
-        search_radius=params.search_window_radius,
-        tile=tile or 32,
-    )
+    # same engine auto-selection as denoise_monoscale: renderfarm batches
+    # run the fused Pallas pipeline on accelerators, not the slow XLA path
+    cfg = auto_engine_config(
+        params, tile=tile, use_fused=use_fused, use_pallas=use_pallas)
     threshold = jnp.float32(params.histogram_distance_threshold)
     min_eigen = jnp.float32(params.min_eigen_value)
 
     if nb_of_scales > 1:
         def one_frame(c, n, h, sc):
             return denoise_multiscale(
-                c, n, h, sc, params, nb_of_scales=nb_of_scales, tile=tile
+                c, n, h, sc, params, nb_of_scales=nb_of_scales, tile=tile,
+                use_fused=use_fused, use_pallas=use_pallas,
             )
     else:
         def one_frame(c, n, h, sc):

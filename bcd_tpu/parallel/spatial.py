@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from bcd_tpu.core.monoscale import MonoscaleConfig, denoise_accumulate
+from bcd_tpu.core.monoscale import (
+    MonoscaleConfig, auto_engine_config, denoise_accumulate)
 from bcd_tpu.params import DenoiserParameters
 
 try:  # JAX >= 0.5 exposes shard_map at the top level
@@ -48,6 +49,8 @@ def denoise_monoscale_spatial(
     mesh: Mesh,
     axis: str = "x",
     tile: Optional[int] = None,
+    use_fused: Optional[bool] = None,
+    use_pallas: Optional[bool] = None,
 ):
     """Denoise one frame sharded over ``mesh[axis]`` columns.
 
@@ -58,11 +61,12 @@ def denoise_monoscale_spatial(
     if width % n:
         raise ValueError(f"width {width} not divisible by mesh axis size {n}")
     w_loc = width // n
-    cfg = MonoscaleConfig(
-        patch_radius=params.patch_radius,
-        search_radius=params.search_window_radius,
-        tile=tile or 32,
-    )
+    # auto-select the engine exactly as denoise_monoscale does: sharded
+    # slabs run the same fused Pallas pipeline as single-device frames
+    # (round-2 verdict: defaulting to the slow XLA path here made scale-out
+    # ~5x slower per chip than one chip)
+    cfg = auto_engine_config(
+        params, tile=tile, use_fused=use_fused, use_pallas=use_pallas)
     h = cfg.halo
     if w_loc < h:
         raise ValueError(
@@ -117,9 +121,15 @@ def denoise_monoscale_spatial(
         )
 
     spec = P(None, axis, None)
+    # check_vma=False: the Pallas kernels inside the fused engine declare
+    # out_shape as plain ShapeDtypeStructs (no varying-across-mesh-axes
+    # annotation), which JAX's vma checker rejects under shard_map; every
+    # value here is straightforwardly varying over the mesh axis, so the
+    # check buys nothing.
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(spec, spec, spec, spec), out_specs=spec,
+        check_vma=False,
     )
     sharding = NamedSharding(mesh, spec)
     args = [
@@ -136,6 +146,8 @@ def denoise_multiscale_spatial(
     nb_of_scales: int = 3,
     axis: str = "x",
     tile: Optional[int] = None,
+    use_fused: Optional[bool] = None,
+    use_pallas: Optional[bool] = None,
 ):
     """Multiscale denoise of one frame spatially sharded over mesh columns.
 
@@ -170,7 +182,8 @@ def denoise_multiscale_spatial(
         rep = [jax.device_put(jnp.asarray(a, jnp.float32), replicated)
                for a in (color, nb, histo, cov)]
         return denoise_multiscale(
-            *rep, params, nb_of_scales=nb_of_scales, tile=tile)
+            *rep, params, nb_of_scales=nb_of_scales, tile=tile,
+            use_fused=use_fused, use_pallas=use_pallas)
 
     inputs = [tuple(
         jax.device_put(jnp.asarray(a, jnp.float32), sharding)
@@ -201,7 +214,8 @@ def denoise_multiscale_spatial(
         merged = jax.device_put(
             denoise_multiscale(
                 *rep, params,
-                nb_of_scales=nb_of_scales - n_sharded + 1, tile=tile),
+                nb_of_scales=nb_of_scales - n_sharded + 1, tile=tile,
+                use_fused=use_fused, use_pallas=use_pallas),
             sharding)
         start = n_sharded - 2
         if start < 0:
@@ -210,7 +224,8 @@ def denoise_multiscale_spatial(
     for scale in range(start, -1, -1):
         c, nn, h, sc = inputs[scale]
         out = denoise_monoscale_spatial(
-            c, nn, h, sc, params, mesh, axis=axis, tile=tile)
+            c, nn, h, sc, params, mesh, axis=axis, tile=tile,
+            use_fused=use_fused, use_pallas=use_pallas)
         if merged is None:
             merged = out
         else:

@@ -76,6 +76,21 @@ class TestMonoscale:
         out = denoise_monoscale(color, nb, histo, cov, params, tile=8)
         assert rmse(out, ref) < 1e-4
 
+    def test_patch_radius_2_pallas_path(self, rng):
+        """patch_radius=2 through the candidate-stack Pallas kernel (the
+        accelerator default for r != 1), interpret mode on CPU. Pins the
+        d=75/npx=25 geometry: solve_filter was silently called with the
+        default npx=9 before round 3 — wrong block-diagonal noise on any
+        accelerator r=2 run."""
+        from bcd_tpu.core.monoscale import denoise_monoscale
+
+        color, nb, histo, cov = small_inputs(rng, h=14, w=14, spp=24)
+        params = DenoiserParameters(patch_radius=2, search_window_radius=2)
+        ref = oracle.denoise_monoscale(color, nb, histo, cov, params)
+        out = denoise_monoscale(color, nb, histo, cov, params, tile=8,
+                                use_pallas=True, use_fused=False)
+        assert rmse(out, ref) < 1e-4
+
 
 class TestMultiscale:
     def test_matches_oracle(self, rng):

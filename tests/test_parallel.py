@@ -42,6 +42,46 @@ def test_spatial_sharding_matches_single_device(rng, mesh4):
     np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=2e-6)
 
 
+def test_spatial_sharding_fused_engine_matches_single_device(rng, mesh4):
+    """The FUSED Pallas pipeline (the production TPU path) under shard_map
+    must match the single-device fused result exactly. On this CPU mesh the
+    kernels run in interpret mode, so the shape is kept tiny; the compiled
+    equivalent runs on hardware via `make verify-tpu` (spatial step).
+    Round-2 verdict: the mesh paths silently ran the slow XLA engine —
+    this pins the composition."""
+    from bcd_tpu.core.monoscale import denoise_monoscale
+    from bcd_tpu.parallel.spatial import denoise_monoscale_spatial
+
+    color, nb, histo, cov = small_inputs(rng, h=10, w=24, spp=8)
+    params = DenoiserParameters(search_window_radius=2)
+    single = np.asarray(denoise_monoscale(
+        color, nb, histo, cov, params, tile=8, use_fused=True))
+    sharded = np.asarray(denoise_monoscale_spatial(
+        color, nb, histo, cov, params, Mesh(np.array(jax.devices()[:2]),
+                                            ("x",)),
+        tile=8, use_fused=True))
+    np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=2e-6)
+
+
+def test_frame_batch_fused_engine(rng, mesh4):
+    """Renderfarm batches with the fused engine (vmapped Pallas kernels
+    under pjit) match the single-frame fused result."""
+    from bcd_tpu.core.monoscale import denoise_monoscale
+    from bcd_tpu.parallel.frames import denoise_frames
+
+    frames = [small_inputs(rng, h=10, w=10, spp=8) for _ in range(2)]
+    colors, nbs, histos, covs = (np.stack(x) for x in zip(*frames))
+    params = DenoiserParameters(search_window_radius=2)
+    mesh2 = Mesh(np.array(jax.devices()[:2]), ("x",))
+    out = np.asarray(denoise_frames(
+        colors, nbs, histos, covs, params, mesh=mesh2, axis="x", tile=8,
+        use_fused=True))
+    ref0 = np.asarray(denoise_monoscale(
+        colors[0], nbs[0], histos[0], covs[0], params, tile=8,
+        use_fused=True))
+    np.testing.assert_allclose(out[0], ref0, rtol=2e-5, atol=2e-6)
+
+
 def test_spatial_rejects_too_small_slabs(rng, mesh4):
     from bcd_tpu.parallel.spatial import denoise_monoscale_spatial
 

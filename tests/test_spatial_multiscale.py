@@ -63,10 +63,31 @@ def test_multiscale_spatial_unshardable_finest_scale(rng):
     np.testing.assert_allclose(sharded, single, rtol=3e-5, atol=3e-6)
 
 
+def test_multiscale_spatial_multitile_shape_8dev(rng):
+    """3 scales, 8 devices, multi-tile slabs (48x512 -> 256 -> 128) with
+    the production search radius 6: every scale stays sharded; exact
+    match vs the single-device driver. (The round-1 review flagged that
+    only toy 18x64 shapes were tested; the full 96x1024 version is the
+    slow-marked test below.)"""
+    from bcd_tpu.core.multiscale import denoise_multiscale
+    from bcd_tpu.parallel.spatial import denoise_multiscale_spatial
+
+    devs = jax.devices()
+    assert len(devs) >= 8
+    mesh = Mesh(np.array(devs[:8]), ("x",))
+    color, nb, histo, cov = small_inputs(rng, h=48, w=512, spp=8)
+    params = DenoiserParameters(search_window_radius=6)
+    single = np.asarray(denoise_multiscale(
+        color, nb, histo, cov, params, nb_of_scales=3, tile=32))
+    sharded = np.asarray(denoise_multiscale_spatial(
+        color, nb, histo, cov, params, mesh, nb_of_scales=3, tile=32))
+    np.testing.assert_allclose(sharded, single, rtol=3e-5, atol=3e-6)
+
+
+@pytest.mark.slow
 def test_multiscale_spatial_realistic_shape_8dev(rng):
-    """3 scales, 8 devices, multi-tile slabs (96x1024 -> 512 -> 256):
-    every scale stays sharded; exact match vs the single-device driver.
-    (The round-1 review flagged that only toy 18x64 shapes were tested.)"""
+    """Full-size version (96x1024, ~20 min on CPU): opt in with
+    ``pytest -m slow``."""
     from bcd_tpu.core.multiscale import denoise_multiscale
     from bcd_tpu.parallel.spatial import denoise_multiscale_spatial
 
