@@ -121,6 +121,15 @@ class MonoscaleConfig(NamedTuple):
 
     @property
     def halo(self) -> int:
+        if self.use_fused:
+            # the fused pipeline pads the halo to the next multiple of 8
+            # STRICTLY above b + r: the tile side tp = tile + 2*halo is
+            # then a multiple of 8, which makes the (tp, tp) slab's
+            # row-major reshape the flat kernel layout with every dynamic
+            # window offset provably 8-aligned (ops/fused_pallas.pm_halo)
+            from bcd_tpu.ops.fused_pallas import pm_halo
+
+            return pm_halo(self.patch_radius, self.search_radius)
         return self.patch_radius + self.search_radius
 
     @property
@@ -623,8 +632,10 @@ def auto_engine_config(params: DenoiserParameters,
     if use_fused is None:
         # the fused spatial kernels only support the reference's
         # patch_radius=1 geometry so far (d = 27); other radii take the
-        # batched-XLA path
-        use_fused = on_accel and params.patch_radius == 1
+        # batched-XLA path. The pm layout also needs tile % 16 == 0
+        # (compact rows must tile into whole 128-lane blocks).
+        use_fused = (on_accel and params.patch_radius == 1
+                     and (tile is None or tile % 16 == 0))
     if use_pallas is None:
         # any accelerator backend (incl. tunneled TPU platforms); the CPU
         # backend would only run the kernel interpreted, which is slower

@@ -4,24 +4,31 @@ Round-2 step change (DESIGN.md §8): the XLA engine materializes per-tile
 candidate tensors (~190 KB/pixel of HBM traffic); these kernels keep the
 whole distance -> moments -> filter -> scatter chain VMEM-resident.
 
-Layout: the tile's (tp, tp) spatial plane is FLATTENED onto the SUBLANE
-axis with a stride padded to a multiple of 8 — arrays are (ROWS, C) with
-flat index z = y*TPS + x (TPS = align8(tp)) stored at row R0 + z. A
+Layout (the round-3 "pm" contract): the halo is padded to a multiple of
+8 (``pm_halo``), so the tile side tp = tile + 2*halo is a multiple of 8
+and the (tp, tp, C) slab's row-major reshape IS the flat kernel layout —
+arrays are (tp*tp, C) with flat index z = y*tp + x, NO row padding. A
 spatial shift by (dy, dx) then decomposes into a PROVABLY 8-ALIGNED
-dynamic part (dy*TPS, constructed as 8*q so Mosaic's alignment check
-passes — large dynamic sublane loads require it; this is what sank both
-the round-1 lane-flat kernel and the first draft of this one) plus a
-small STATIC part dx handled as a sub-slice of the loaded value. The
-offset loop is therefore grid-over-dy with an unrolled static dx loop.
+dynamic part (dy*tp, constructed as 8*q so Mosaic's alignment check
+passes — large dynamic sublane loads require it; this is what sank the
+round-1 lane-flat kernel) plus a small STATIC part dx handled as a
+sub-slice of the loaded value. The offset loop is grid-over-dy with an
+unrolled static dx loop; the strict halo margin (pm_halo > b + r) keeps
+every window in bounds without sentinel rows.
 
 No wrap correction is needed: contributions that cross a row boundary
 under flat shifting come from non-core or non-interior positions whose
-masks are identically zero (columns [tp, TPS) are zero-filled and never
-valid).
+masks are identically zero (the halo is at least b + r + 1 wide).
+
+The kernels hand data to each other in COMPACT CORE-PIXEL-MAJOR rows
+(tile^2, C): K1 repacks its core band on emit, K2 consumes/emits pixel
+rows directly (MXU in-kernel transposes), K4 re-expands onto its padded
+flat scratch. No XLA marshaling runs between them (round-2 VERDICT
+item 1a: that marshal cost ~4 ms of a ~10 ms tile).
 
 Two kernels:
 
-- ``masks_moments`` (K1): per (dy, dx) window offset: the chi^2
+- ``masks_moments2`` (K1): per (dy, dx) window offset: the chi^2
   histogram patch-distance map (reference semantics
   DenoisingUnit.cpp:336-386 — the b1+b2 <= 1 bin gate, patch distance =
   summed numerator / count of non-gated bins), the similar-patch mask,
@@ -37,7 +44,7 @@ Two kernels:
   candidate vectors per pixel (the reference gathers per-thread,
   DenoisingUnit.cpp:483-536).
 
-- ``apply_scatter`` (K4): the per-pixel filter
+- ``apply_scatter2`` (K4): the per-pixel filter
   field_p,o = A2[p] c_{p+o} + b2[p] aggregated at candidate centers
   (DenoisingUnit.cpp:672-693) is, summed over p, a correlation of the
   gated masks with the per-pixel filter matrices:
@@ -90,7 +97,7 @@ def tri_geometry(d: int):
     return bases, idx.reshape(-1), acc
 
 
-# perf-bisection toggles (dev only; see scripts/smoke_fused_tpu.py)
+# perf-bisection toggles (dev only; see scripts/bisect_fused.py)
 import os as _os
 
 _SKIP = set(_os.environ.get("BCD_FUSED_SKIP", "").split(","))
@@ -100,47 +107,9 @@ _SKIP = set(_os.environ.get("BCD_FUSED_SKIP", "").split(","))
 _DX_CHUNK = 7
 
 
-def flat_geometry(tp: int, b: int, r: int):
-    """Row geometry of the flat layout: (TPS, R0, ROWS).
-
-    TPS is the padded row stride; R0 (a multiple of 8) is the row of flat
-    index 0. The pads of R0 rows on each side keep every aligned dynamic
-    load window (|dy|*TPS + 8 margin) and every static patch-build slice
-    in bounds."""
-    tps = _align8(tp)
-    r0 = _align8(b * tps + b + r * tps + r + 16)
-    rows = _align8(2 * r0 + tp * tps)
-    return tps, r0, rows
-
-
 def _patch_offsets(r: int, tps: int):
     return [(qy * tps + qx)
             for qy in range(-r, r + 1) for qx in range(-r, r + 1)]
-
-
-def to_flat(img, b: int, r: int, fill: float = 0.0):
-    """(tp, tp, C) -> (ROWS, C) flat slab with flat index z at row R0+z."""
-    tp = img.shape[0]
-    tps, r0, rows = flat_geometry(tp, b, r)
-    img = jnp.pad(img, ((0, 0), (0, tps - tp), (0, 0)),
-                  constant_values=fill)
-    flat = img.reshape(tp * tps, img.shape[-1])
-    return jnp.pad(flat, ((r0, rows - r0 - tp * tps), (0, 0)),
-                   constant_values=fill)
-
-
-def from_flat(flat, tp: int, b: int, r: int):
-    """(ROWS, C) -> (tp, tp, C): inverse of ``to_flat``."""
-    tps, r0, _ = flat_geometry(tp, b, r)
-    return flat[r0 : r0 + tp * tps].reshape(
-        tp, tps, flat.shape[-1])[:, :tp]
-
-
-def _aligned_window(ref, q8, npix, lo=None, hi=None):
-    """Load rows [8*q8 - 8 + 8, ...): a (npix+16, C) window at a provably
-    8-aligned dynamic offset; the caller sub-slices [8+dx : 8+dx+npix]."""
-    return ref[pl.ds(8 * q8, npix + 16), lo:hi] if lo is not None else (
-        ref[pl.ds(8 * q8, npix + 16), :])
 
 
 def _pack_cols(cols):
@@ -158,33 +127,74 @@ def _pack_cols(cols):
     return out
 
 
-def _masks_moments_kernel(thr_ref, histo_ref, nb_ref, color_ref,
-                          pixcov_ref, valid_ref, mask_ref, m2_ref, misc_ref,
-                          pc_s, pcov_s, g_s, m2acc_s, macc_s, novacc_s,
-                          nacc_s,
-                          *, tp, r, b, r0, tps, rows, self_dy):
-    npix = tp * tps
+# ---------------------------------------------------------------------------
+# v2 ("pm") pipeline: marshal-free kernel contracts.
+#
+# Round-3 redesign (VERDICT r2 item 1a): with the halo padded to a multiple
+# of 8 the tile side tp = tile + 2*halo is itself a multiple of 8, so the
+# flat layout needs NO padding at all — a (tp, tp, C) slab reshaped to
+# (tp*tp, C) IS the flat slab (row stride tp, zero copies), every dynamic
+# dy window offset is provably 8-aligned, and the core rows start 8-aligned
+# too. K1 therefore emits its moments REPACKED to compact core-pixel-major
+# rows (tile^2, C) which K2 consumes directly (transposing on the MXU
+# in-kernel) and K4 re-expands into its flat scratch — the three XLA
+# marshal stages between the kernels (measured ~4 ms/tile at tile=48:
+# to_flat x5 1.3 + K1->K2 1.3 + K2->K4 1.6) are gone entirely.
+# ---------------------------------------------------------------------------
+
+
+def pm_halo(r: int, b: int) -> int:
+    """Fused-pipeline halo: smallest multiple of 8 STRICTLY greater than
+    b + r (the strict margin keeps the -8 row of every aligned dynamic
+    window in bounds)."""
+    return _align8(b + r + 1)
+
+
+def pm_geometry(t: int, r: int, b: int):
+    """Row geometry of the pm layout. Returns (h, tp, cb0, ncore, ch0,
+    nchi): halo, padded tile side (= row stride), core-band start row and
+    length, chi-band start row and length. Flat index z = y*tp + x."""
+    assert t % 16 == 0, f"fused tile must be a multiple of 16, got {t}"
+    h = pm_halo(r, b)
+    tp = t + 2 * h
+    return h, tp, h * tp, t * tp, (h - r) * tp, (t + 2 * r) * tp
+
+
+def _aligned_win(ref, base8, nrows):
+    """Load rows [base8*8, base8*8 + nrows + 16): an 8-aligned dynamic
+    window; callers sub-slice [8+shift : 8+shift+nrows] for |shift| <= 8."""
+    return ref[pl.ds(8 * base8, nrows + 16), :]
+
+
+def _masks_moments2_kernel(thr_ref, histo_ref, nb_ref, color_ref,
+                           pixcov_ref, valid_ref, mask_ref, m2_ref, misc_ref,
+                           pc_s, pcov_s, g_s, m2acc_s, macc_s, novacc_s,
+                           nacc_s,
+                           *, t, r, b):
+    h, tp, cb0, ncore, ch0, nchi = pm_geometry(t, r, b)
+    npix = tp * tp
     d = 3 * (2 * r + 1) ** 2
     npatch = (2 * r + 1) ** 2
     tri_base, _, dtri = tri_geometry(d)
     f32 = jnp.float32
     o = pl.program_id(0)
     dy = o - b
-    qs = r * tps + r  # static patch-build reach
+    qs = r * tp + r  # static patch-build reach
+    nd = 2 * b + 1
 
     @pl.when(o == 0)
     def _build():
         # patch stacks: Pc[z, 3*qi+c] = color[z + q_qi, c] (the reference's
         # patch vector layout, DenoisingUnit.cpp:483-498); valid on
-        # [qs, rows-qs) which covers every row the correlations read
+        # [qs, npix-qs) which covers every row the correlations read
         if "gbuild" not in _SKIP:
-            pc_s[:] = jnp.zeros((rows, d), f32)
-            pcov_s[:] = jnp.zeros((rows, 6 * npatch), f32)
-            for qi, q in enumerate(_patch_offsets(r, tps)):
-                pc_s[qs : rows - qs, 3 * qi : 3 * qi + 3] = (
-                    color_ref[qs + q : rows - qs + q, :])
-                pcov_s[qs : rows - qs, 6 * qi : 6 * qi + 6] = (
-                    pixcov_ref[qs + q : rows - qs + q, :])
+            pc_s[:] = jnp.zeros((npix, d), f32)
+            pcov_s[:] = jnp.zeros((npix, 6 * npatch), f32)
+            for qi, q in enumerate(_patch_offsets(r, tp)):
+                pc_s[qs : npix - qs, 3 * qi : 3 * qi + 3] = (
+                    color_ref[qs + q : npix - qs + q, :])
+                pcov_s[qs : npix - qs, 6 * qi : 6 * qi + 6] = (
+                    pixcov_ref[qs + q : npix - qs + q, :])
             # patch outer products, upper triangle only (M2 is symmetric):
             # G[z, tri(k, j)] = Pc[z,k] * Pc[z,j], j >= k
             pc_all = pc_s[:]
@@ -192,44 +202,47 @@ def _masks_moments_kernel(thr_ref, histo_ref, nb_ref, color_ref,
                 tb = int(tri_base[k])
                 g_s[:, tb : tb + d - k] = (
                     pc_all[:, k : k + 1] * pc_all[:, k:])
-        m2acc_s[:] = jnp.zeros((npix, dtri), f32)
-        macc_s[:] = jnp.zeros((npix, d), f32)
-        novacc_s[:] = jnp.zeros((npix, 6 * npatch), f32)
-        nacc_s[:] = jnp.zeros((npix, 1), f32)
+        m2acc_s[:] = jnp.zeros((ncore, dtri), f32)
+        macc_s[:] = jnp.zeros((ncore, d), f32)
+        novacc_s[:] = jnp.zeros((ncore, 6 * npatch), f32)
+        nacc_s[:] = jnp.zeros((ncore, 1), f32)
 
     thr = thr_ref[0, 0]
 
-    # per-dy aligned windows (base row r0 - 8 + dy*tps, provably 8-aligned)
-    q8 = (r0 - 8) // 8 + dy * (tps // 8)
-    hist_w = _aligned_window(histo_ref, q8, npix)
-    nb_w = _aligned_window(nb_ref, q8, npix)
-    valid_w = _aligned_window(valid_ref, q8, npix)
-    g_w = _aligned_window(g_s, q8, npix)
-    pc_w = _aligned_window(pc_s, q8, npix)
-    pcov_w = _aligned_window(pcov_s, q8, npix)
+    # chi-band windows (8-aligned dynamic base; the strict halo guarantees
+    # (h-r-b)*tp - 8 >= 0) and core-band windows for moments/validity
+    q8c = (ch0 - 8) // 8 + dy * (tp // 8)
+    q8m = (cb0 - 8) // 8 + dy * (tp // 8)
+    hist_w = _aligned_win(histo_ref, q8c, nchi)
+    nb_w = _aligned_win(nb_ref, q8c, nchi)
+    valid_w = _aligned_win(valid_ref, q8m, ncore)
+    g_w = _aligned_win(g_s, q8m, ncore)
+    pc_w = _aligned_win(pc_s, q8m, ncore)
+    pcov_w = _aligned_win(pcov_s, q8m, ncore)
 
-    hist_c = histo_ref[r0 : r0 + npix, :]
-    nb_c = nb_ref[r0 : r0 + npix, :]
-    center_valid = valid_ref[r0 : r0 + npix, 0:1]
-
-    nd = 2 * b + 1
+    hist_c = histo_ref[ch0 : ch0 + nchi, :]
+    nb_c = nb_ref[ch0 : ch0 + nchi, :]
+    center_valid = valid_ref[cb0 : cb0 + ncore, 0:1]
 
     if "masks" in _SKIP:  # machinery bisect: constant masks, no distances
-        mask13 = jnp.broadcast_to(center_valid, (npix, nd))
+        mask13 = jnp.broadcast_to(center_valid, (ncore, nd))
     else:
-        # --- chi^2 per-pixel numerator / kept-bin count, all dx lanes -----
+        # --- chi^2 per-pixel numerator / kept-bin count over the CHI band
+        # (core band +- patch_radius rows: centers outside the core never
+        # contribute, so the old full-npix sweep wasted ~(npix/nchi - 1)
+        # of the distance work) ------------------------------------------
         num_cols = []
         cnt_cols = []
         int_cols = []
         for dx in range(-b, b + 1):
             s = 8 + dx  # static sub-slice start within the aligned window
-            int_cols.append(valid_w[s : s + npix, 1:2])
+            int_cols.append(valid_w[s : s + ncore, 1:2])
             if "chi2" in _SKIP:
-                num_cols.append(jnp.zeros((npix, 1), f32))
-                cnt_cols.append(jnp.ones((npix, 1), f32))
+                num_cols.append(jnp.zeros((nchi, 1), f32))
+                cnt_cols.append(jnp.ones((nchi, 1), f32))
                 continue
-            hist_n = hist_w[s : s + npix, :]
-            nb_n = nb_w[s : s + npix, :]
+            hist_n = hist_w[s : s + nchi, :]
+            nb_n = nb_w[s : s + nchi, :]
             hsum = hist_c + hist_n
             keep = hsum > 1.0  # "TEMPORARY" bin gate, DenoisingUnit.cpp:379
             diff = nb_n * hist_c - nb_c * hist_n
@@ -240,105 +253,116 @@ def _masks_moments_kernel(thr_ref, histo_ref, nb_ref, color_ref,
                 keepdims=True))
             cnt_cols.append(jnp.sum(keep.astype(f32), axis=1, keepdims=True))
 
-        # --- patch box sum for all dx at once (lane-batched) ---------------
-        ncat = _pack_cols(num_cols + cnt_cols)  # (npix, 2*nd)
+        # --- patch box sum for all dx at once (lane-batched); chi-band
+        # row r*tp + i + q is the patch pixel q of core-band center i ----
+        ncat = _pack_cols(num_cols + cnt_cols)  # (nchi, 2*nd)
         if "box" in _SKIP:
-            boxed = ncat
+            boxed = ncat[r * tp : r * tp + ncore, :]
         else:
             padded = jnp.pad(ncat, ((qs, qs), (0, 0)))
-            boxed = jnp.zeros((npix, 2 * nd), f32)
-            for q in _patch_offsets(r, tps):
-                boxed = boxed + padded[qs + q : qs + q + npix, :]
+            boxed = jnp.zeros((ncore, 2 * nd), f32)
+            for q in _patch_offsets(r, tp):
+                boxed = boxed + padded[
+                    qs + r * tp + q : qs + r * tp + q + ncore, :]
         num_box, cnt_box = boxed[:, :nd], boxed[:, nd:]
         dist = jnp.where(cnt_box > 0.0, num_box / jnp.maximum(cnt_box, 1.0),
-                         jnp.inf)  # (npix, nd)
+                         jnp.inf)  # (ncore, nd)
 
-        # --- similar-set masks, all dx lanes -------------------------------
-        interior_n = _pack_cols(int_cols)  # (npix, nd)
+        # --- similar-set masks, all dx lanes ------------------------------
+        interior_n = _pack_cols(int_cols)  # (ncore, nd)
         mask13 = (dist <= thr).astype(f32) * interior_n * center_valid
         # the self offset is always selected for valid centers (its
         # distance is identically 0 but can be 0/0 -> inf when every bin
         # is gated)
-        col = jax.lax.broadcasted_iota(jnp.int32, (npix, nd), 1)
-        is_self = jnp.logical_and(dy == self_dy, col == b)
+        col = jax.lax.broadcasted_iota(jnp.int32, (ncore, nd), 1)
+        is_self = jnp.logical_and(dy == 0, col == b)
         mask13 = jnp.where(is_self, center_valid, mask13)
 
-    mask_ref[0:r0, :] = jnp.zeros((r0, nd), f32)
-    mask_ref[r0 + npix :, :] = jnp.zeros((rows - r0 - npix, nd), f32)
-    mask_ref[r0 : r0 + npix, :] = mask13
+    mask_ref[0:cb0, :] = jnp.zeros((cb0, nd), f32)
+    mask_ref[cb0 + ncore :, :] = jnp.zeros((npix - cb0 - ncore, nd), f32)
+    mask_ref[cb0 : cb0 + ncore, :] = mask13
 
-    # --- masked moment accumulation (shifted lane-wide FMAs) ---------------
+    # --- masked moment accumulation (shifted lane-wide FMAs) --------------
     # dx contributions are summed as fused expressions so the big
-    # (npix, dtri) accumulator is read+written once per CHUNK of dx
-    # instead of once per dx. Chunking caps the live value: a full
-    # 13-term chain on a d*d-wide accumulator spills vregs at tile>=48
-    # (the round-1 107 MB failure mode); _DX_CHUNK-wide chunks compile
-    # and still cut accumulator VMEM traffic ~6x.
+    # (ncore, dtri) accumulator is read+written once per CHUNK of dx
+    # instead of once per dx (chunking caps the live value the register
+    # allocator carries; a full 13-term chain spills vregs at tile>=48)
     dxs = list(range(-b, b + 1))
     if "m2" not in _SKIP:
         for c0 in range(0, len(dxs), _DX_CHUNK):
             m2c = None
             for dxi in range(c0, min(c0 + _DX_CHUNK, len(dxs))):
                 s = 8 + dxs[dxi]
-                t = mask13[:, dxi : dxi + 1] * g_w[s : s + npix, :]
-                m2c = t if m2c is None else m2c + t
+                tt = mask13[:, dxi : dxi + 1] * g_w[s : s + ncore, :]
+                m2c = tt if m2c is None else m2c + tt
             m2acc_s[:] = m2acc_s[:] + m2c
     if "small" not in _SKIP:
         mc = novc = None
         for dxi, dx in enumerate(dxs):
             s = 8 + dx
             mask = mask13[:, dxi : dxi + 1]
-            t = mask * pc_w[s : s + npix, :]
-            mc = t if mc is None else mc + t
-            t = mask * pcov_w[s : s + npix, :]
-            novc = t if novc is None else novc + t
+            tt = mask * pc_w[s : s + ncore, :]
+            mc = tt if mc is None else mc + tt
+            tt = mask * pcov_w[s : s + ncore, :]
+            novc = tt if novc is None else novc + tt
         macc_s[:] = macc_s[:] + mc
         novacc_s[:] = novacc_s[:] + novc
     nacc_s[:] += jnp.sum(mask13, axis=1, keepdims=True)
 
     @pl.when(o == 2 * b)
     def _emit():
-        m2_ref[:] = m2acc_s[:]
-        misc_ref[:, 0:d] = macc_s[:]
-        misc_ref[:, d : d + 6 * npatch] = novacc_s[:]
-        misc_ref[:, d + 6 * npatch : d + 6 * npatch + 1] = nacc_s[:]
-        misc_ref[:, d + 6 * npatch + 1 :] = jnp.zeros(
-            (npix, misc_ref.shape[1] - d - 6 * npatch - 1), f32)
+        # repack the core band to compact core-pixel-major rows: band row
+        # y*tp + h + x -> compact row y*t + x. Both src (h = 0 mod 8,
+        # tp = 0 mod 8) and dst (t = 0 mod 16) offsets stay 8-aligned, so
+        # the t static copies need no relayout.
+        for y in range(t):
+            src = y * tp + h
+            dst = y * t
+            m2_ref[dst : dst + t, :] = m2acc_s[src : src + t, :]
+            misc_ref[dst : dst + t, 0:d] = macc_s[src : src + t, :]
+            misc_ref[dst : dst + t, d : d + 6 * npatch] = (
+                novacc_s[src : src + t, :])
+            misc_ref[dst : dst + t, d + 6 * npatch : d + 6 * npatch + 1] = (
+                nacc_s[src : src + t, :])
+            misc_ref[dst : dst + t, d + 6 * npatch + 1 :
+                     d + 6 * npatch + 2] = (
+                valid_ref[cb0 + src : cb0 + src + t, 0:1])
+            misc_ref[dst : dst + t, d + 6 * npatch + 2 :] = jnp.zeros(
+                (t, misc_ref.shape[1] - d - 6 * npatch - 2), f32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tp", "r", "b", "interpret"))
-def masks_moments(histo_f, nb_f, color_f, pixcov_f, valid_f,
-                  threshold, tp: int, r: int, b: int,
-                  interpret: bool = False):
-    """K1: per-offset similar-patch masks + masked moment sums for one tile.
+    jax.jit, static_argnames=("t", "r", "b", "interpret"))
+def masks_moments2(histo_f, nb_f, color_f, pixcov_f, valid_f,
+                   threshold, t: int, r: int, b: int,
+                   interpret: bool = False):
+    """K1 v2: per-offset similar-patch masks + masked moment sums.
 
-    Inputs are flat tp-grid slabs (ROWS, C) from ``to_flat`` (pads zero,
-    nb pad 1.0):
-      histo_f  (ROWS, 3*nbins), nb_f (ROWS, 1), color_f (ROWS, 3),
-      pixcov_f (ROWS, 6), valid_f (ROWS, 2) = [center_valid & owned,
+    Inputs are (tp*tp, C) pm-flat slabs (tp = t + 2*pm_halo(r, b); a
+    (tp, tp, C) tile slab reshaped row-major, NO padding):
+      histo_f (tp^2, nbins), nb_f (tp^2, 1), color_f (tp^2, 3),
+      pixcov_f (tp^2, 6), valid_f (tp^2, 2) = [center_valid & owned,
       candidate-interior].
 
     Returns:
-      masks (2b+1, ROWS, 2b+1): similar-set masks indexed [dyi, :, dxi]
-          (rows outside the tp grid are zero),
-      m2    (tp*TPS, d(d+1)/2): raw masked second moments sum_o w c c^T,
-          upper-triangle packed (expand with ``tri_geometry(d)[1]``),
-      misc  (tp*TPS, 128): [0:d] masked color-patch sums, [d:d+6*npx]
-          masked patch-cov sums, [d+6*npx] similar-set sizes n.
+      masks (2b+1, tp^2, 2b+1): similar-set masks indexed [dyi, z, dxi]
+          (zero outside the core band),
+      m2    (t^2, d(d+1)/2): raw masked second moments, COMPACT core-
+          pixel-major rows (z = y*t + x), upper-triangle packed,
+      misc  (t^2, 128): [0:d] masked color-patch sums, [d:d+6*npx] masked
+          patch-cov sums, [d+6*npx] n, [d+6*npx+1] center_valid.
     """
-    tps, r0, rows = flat_geometry(tp, b, r)
-    assert histo_f.shape[0] == rows, (histo_f.shape, rows)
+    h, tp, cb0, ncore, ch0, nchi = pm_geometry(t, r, b)
+    npix = tp * tp
+    assert histo_f.shape[0] == npix, (histo_f.shape, npix)
     nbins = histo_f.shape[1]
-    npix = tp * tps
     d = 3 * (2 * r + 1) ** 2
     npatch = (2 * r + 1) ** 2
     nd = 2 * b + 1
     _, _, dtri = tri_geometry(d)
+    assert d + 6 * npatch + 2 <= 128, "misc channel budget (r=1 only)"
 
-    kernel = functools.partial(
-        _masks_moments_kernel, tp=tp, r=r, b=b, r0=r0, tps=tps, rows=rows,
-        self_dy=0)
+    kernel = functools.partial(_masks_moments2_kernel, t=t, r=r, b=b)
 
     const = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda o: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
@@ -348,84 +372,108 @@ def masks_moments(histo_f, nb_f, color_f, pixcov_f, valid_f,
         grid=(nd,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda o: (0, 0), memory_space=pltpu.SMEM),
-            const((rows, nbins)),
-            const((rows, 1)),
-            const((rows, 3)),
-            const((rows, 6)),
-            const((rows, 2)),
+            const((npix, nbins)),
+            const((npix, 1)),
+            const((npix, 3)),
+            const((npix, 6)),
+            const((npix, 2)),
         ],
         out_specs=[
-            pl.BlockSpec((rows, nd), lambda o: (o, 0),
+            pl.BlockSpec((npix, nd), lambda o: (o, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((npix, dtri), lambda o: (0, 0),
+            pl.BlockSpec((t * t, dtri), lambda o: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((npix, 128), lambda o: (0, 0),
+            pl.BlockSpec((t * t, 128), lambda o: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nd * rows, nd), jnp.float32),
-            jax.ShapeDtypeStruct((npix, dtri), jnp.float32),
-            jax.ShapeDtypeStruct((npix, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nd * npix, nd), jnp.float32),
+            jax.ShapeDtypeStruct((t * t, dtri), jnp.float32),
+            jax.ShapeDtypeStruct((t * t, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows, d), jnp.float32),            # pc_s
-            pltpu.VMEM((rows, 6 * npatch), jnp.float32),   # pcov_s
-            pltpu.VMEM((rows, dtri), jnp.float32),         # g_s
-            pltpu.VMEM((npix, dtri), jnp.float32),         # m2acc_s
-            pltpu.VMEM((npix, d), jnp.float32),            # macc_s
-            pltpu.VMEM((npix, 6 * npatch), jnp.float32),   # novacc_s
-            pltpu.VMEM((npix, 1), jnp.float32),            # nacc_s
+            pltpu.VMEM((npix, d), jnp.float32),             # pc_s
+            pltpu.VMEM((npix, 6 * npatch), jnp.float32),    # pcov_s
+            pltpu.VMEM((npix, dtri), jnp.float32),          # g_s
+            pltpu.VMEM((ncore, dtri), jnp.float32),         # m2acc_s
+            pltpu.VMEM((ncore, d), jnp.float32),            # macc_s
+            pltpu.VMEM((ncore, 6 * npatch), jnp.float32),   # novacc_s
+            pltpu.VMEM((ncore, 1), jnp.float32),            # nacc_s
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(threshold, jnp.float32).reshape(1, 1),
       histo_f, nb_f, color_f, pixcov_f, valid_f)
-    return masks.reshape(nd, rows, nd), m2, misc
+    return masks.reshape(nd, npix, nd), m2, misc
 
 
-def _apply_scatter_kernel(masks_ref, a2t_ref, b2_ref, gate_ref,
-                          fbm_ref, color_ref, out_ref,
-                          wa_s, wb_s, cnt_s,
-                          *, tp, r, b, r0, tps, rows):
-    npix = tp * tps
+def k4_geometry(t: int, r: int, b: int):
+    """Candidate-band geometry of K4. The filtered field is indexed by
+    CANDIDATE position z = center + o, which reaches b rows beyond the
+    core band on both sides: ca0/ncand are that band's start/length. The
+    windowed reads z - o then reach up to 2b rows above the core — past
+    row 0 of the unpadded pm layout — so K4's source slabs (A2/small/
+    masks) live in scratch with p0 pad rows on each side."""
+    h, tp, cb0, ncore, _, _ = pm_geometry(t, r, b)
+    ca0 = (h - b) * tp
+    ncand = (t + 2 * b) * tp
+    p0 = _align8(b * tp + b + 8)
+    return ca0, ncand, p0
+
+
+def _apply_scatter2_kernel(masks_ref, a2t_ref, small_ref, color_ref,
+                           out_ref,
+                           a2f_s, smf_s, mpad_s, wa_s, wb_s, cnt_s,
+                           *, t, r, b):
+    from bcd_tpu.ops.solve_filter_pallas import SMALL_CH
+
+    h, tp, cb0, ncore, _, _ = pm_geometry(t, r, b)
+    ca0, ncand, p0 = k4_geometry(t, r, b)
+    npix = tp * tp
+    srows = npix + 2 * p0
     d = 3 * (2 * r + 1) ** 2
     f32 = jnp.float32
     o = pl.program_id(0)
     nd = 2 * b + 1
-    qs = r * tps + r
+    qs = r * tp + r
+    qs_a = _align8(qs)
 
     @pl.when(o == 0)
     def _init():
-        wa_s[:] = jnp.zeros((npix, d * d), f32)
-        wb_s[:] = jnp.zeros((npix, d), f32)
-        cnt_s[:] = jnp.zeros((npix, 1), f32)
+        # re-expand K2's compact pixel-major maps onto the PADDED flat row
+        # grid (the inverse of K1's emit repack; same aligned t-copy
+        # structure). The zero fill keeps 0 * garbage out of the windowed
+        # reads and stands in for the out-of-tile rows the windows reach.
+        a2f_s[:] = jnp.zeros((srows, d * d), f32)
+        smf_s[:] = jnp.zeros((srows, SMALL_CH), f32)
+        for y in range(t):
+            src = y * t
+            dst = p0 + cb0 + y * tp + h
+            a2f_s[dst : dst + t, :] = a2t_ref[src : src + t, :]
+            smf_s[dst : dst + t, :] = small_ref[src : src + t, :]
+        mpad_s[0:p0, :] = jnp.zeros((p0, nd), f32)
+        mpad_s[p0 + npix :, :] = jnp.zeros((p0, nd), f32)
+        wa_s[:] = jnp.zeros((ncand, d * d), f32)
+        wb_s[:] = jnp.zeros((ncand, d), f32)
+        cnt_s[:] = jnp.zeros((ncand, 1), f32)
 
     # the grid has nd+1 steps: steps [0, nd) accumulate, step nd emits.
-    # Emitting in its OWN step keeps the accumulate windows (a 14 MB
-    # (npix, d*d) value among them) out of the emit block's register
-    # region — with both in one step the allocator spilled 108 MB of
-    # vregs at tile=48 even though each half fits comfortably alone.
+    # Emitting in its OWN step keeps the accumulate windows out of the
+    # emit block's register region (round-2: sharing one step spilled
+    # ~108 MB of vregs at tile=48).
     @pl.when(o < nd)
     def _accumulate():
         dy = o - b
-        # WA^T[z] += mask[z-o, o] * gate[z-o] * A2^T[z-o]: shifts are
-        # NEGATED relative to K1. a2t_ref packs A2 TRANSPOSED,
-        # a2t[p, k*d+j] = A2[p][j, k], so the contraction against the
-        # patch stack below is per-k contiguous.
-        q8 = (r0 - 8) // 8 - dy * (tps // 8)
-        a2_w = _aligned_window(a2t_ref, q8, npix)
-        b2_w = _aligned_window(b2_ref, q8, npix)
-        gate_w = _aligned_window(gate_ref, q8, npix)
-
-        # fused multi-term expressions per grid step (see the K1 note):
-        # the big (npix, d*d) accumulator is read+written once per CHUNK
-        # of dx instead of once per dx. The chunk size (_DX_CHUNK) caps
-        # the live value the register allocator must carry — a full
-        # 13-term chain on the d*d accumulator spills vregs (round 1's
-        # failure mode); _DX_CHUNK-wide chunks compile and still cut
-        # accumulator traffic ~6x.
-        mask_w = _aligned_window(masks_ref, q8, npix)  # (npix+16, 2b+1)
+        # WA^T[z] += mask[z-o, o] * gate[z-o] * A2^T[z-o] for z in the
+        # candidate band: shifts are NEGATED relative to K1. a2t rows pack
+        # A2 TRANSPOSED k-major, so the contraction against the patch
+        # stack in _emit is per-k contiguous.
+        mpad_s[p0 : p0 + npix, :] = masks_ref[:]  # this dy's mask block
+        q8 = (p0 + ca0 - 8) // 8 - dy * (tp // 8)
+        a2_w = _aligned_win(a2f_s, q8, ncand)
+        sm_w = _aligned_win(smf_s, q8, ncand)
+        mask_w = _aligned_win(mpad_s, q8, ncand)  # (ncand+16, 2b+1)
         if "k4acc" in _SKIP:
             return
         dxs = list(range(-b, b + 1))
@@ -433,19 +481,20 @@ def _apply_scatter_kernel(masks_ref, a2t_ref, b2_ref, gate_ref,
         wbc = cc = None
         for dxi, dx in enumerate(dxs):
             s = 8 - dx  # negated static remainder
-            w = (mask_w[s : s + npix, dxi : dxi + 1]
-                 * gate_w[s : s + npix, :])
+            w = (mask_w[s : s + ncand, dxi : dxi + 1]
+                 * sm_w[s : s + ncand, d : d + 1])  # mask * gate
             ws[dxi] = (s, w)
-            tb = w * b2_w[s : s + npix, :]
+            tb = w * sm_w[s : s + ncand, 0:d]  # w * b2
             wbc = tb if wbc is None else wbc + tb
             cc = w if cc is None else cc + w
         wb_s[:] = wb_s[:] + wbc
         cnt_s[:] = cnt_s[:] + cc
+        # fused _DX_CHUNK-term expressions per grid step (see the K1 note)
         for c0 in range(0, len(dxs), _DX_CHUNK):
             wac = None
             for dxi in range(c0, min(c0 + _DX_CHUNK, len(dxs))):
                 s, w = ws[dxi]
-                ta = w * a2_w[s : s + npix, :]
+                ta = w * a2_w[s : s + ncand, :]
                 wac = ta if wac is None else wac + ta
             wa_s[:] = wa_s[:] + wac
 
@@ -453,55 +502,65 @@ def _apply_scatter_kernel(masks_ref, a2t_ref, b2_ref, gate_ref,
     def _emit():
         # candidate-center field F[z] = WA[z] c-patch[z] + wb[z] + fb-mean;
         # fallback pixels deposit their mean patch at z = p only
-        # (DenoisingUnit.cpp:455-481); fbm_ref carries [fb * m, fb].
-        f = wb_s[:] + fbm_ref[r0 : r0 + npix, 0:d]
-        cnt2 = cnt_s[:] + fbm_ref[r0 : r0 + npix, d : d + 1]
+        # (DenoisingUnit.cpp:455-481); smf carries [b2, gate, fb*m, fb]
+        f = wb_s[:] + smf_s[p0 + ca0 : p0 + ca0 + ncand, d + 1 : 2 * d + 1]
+        cnt2 = cnt_s[:] + smf_s[p0 + ca0 : p0 + ca0 + ncand,
+                                2 * d + 1 : 2 * d + 2]
         # F[:, j] += c-patch[:, k] * WA^T[:, k*d + j] for all j at once
-        # (c-patch[z, k] = color[z + q_k], read as shifted color columns;
+        # (c-patch[z, k] = color[z + q_k], read as shifted color columns —
+        # the candidate band's patch reach stays inside the unpadded slab;
         # WA^T columns read straight from the scratch ref to keep the live
         # set small)
         if "k4fil" not in _SKIP:
-            for qi, q in enumerate(_patch_offsets(r, tps)):
+            for qi, q in enumerate(_patch_offsets(r, tp)):
                 for c in range(3):
                     k = 3 * qi + c
-                    ck = color_ref[r0 + q : r0 + q + npix, c : c + 1]
+                    ck = color_ref[ca0 + q : ca0 + q + ncand, c : c + 1]
                     f = f + ck * wa_s[:, k * d : (k + 1) * d]
         # aggregate: pixel y receives component group q of the candidate
-        # field at y - q (Denoiser.cpp:434-470 semantics, one pass)
-        out_ref[0:r0, :] = jnp.zeros((r0, 4), f32)
-        out_ref[r0 + npix :, :] = jnp.zeros(
-            (out_ref.shape[0] - r0 - npix, 4), f32)
-        fpad = jnp.pad(f, ((qs, qs), (0, 0)))
-        cpad = jnp.pad(cnt2, ((qs, qs), (0, 0)))
-        acc = jnp.zeros((npix, 3), f32)
-        cacc = jnp.zeros((npix, 1), f32)
-        for qi, q in enumerate(_patch_offsets(r, tps)):
-            acc = acc + fpad[qs - q : qs - q + npix, 3 * qi : 3 * qi + 3]
-            cacc = cacc + cpad[qs - q : qs - q + npix, :]
-        out_ref[r0 : r0 + npix, 0:3] = acc
-        out_ref[r0 : r0 + npix, 3:4] = cacc
+        # field at y - q (Denoiser.cpp:434-470 semantics, one pass). The
+        # output band [ca0 - qs_a, ca0 + ncand + qs_a) is 8-aligned on
+        # both sides (qs_a = align8(patch reach)); rows outside it are
+        # zero.
+        pa = 2 * qs_a
+        fpad = jnp.pad(f, ((pa, pa), (0, 0)))
+        cpad = jnp.pad(cnt2, ((pa, pa), (0, 0)))
+        nb_rows = ncand + 2 * qs_a
+        acc = jnp.zeros((nb_rows, 3), f32)
+        cacc = jnp.zeros((nb_rows, 1), f32)
+        for qi, q in enumerate(_patch_offsets(r, tp)):
+            acc = acc + fpad[qs_a - q : qs_a - q + nb_rows,
+                             3 * qi : 3 * qi + 3]
+            cacc = cacc + cpad[qs_a - q : qs_a - q + nb_rows, :]
+        out_ref[0 : ca0 - qs_a, :] = jnp.zeros((ca0 - qs_a, 4), f32)
+        out_ref[ca0 - qs_a : ca0 - qs_a + nb_rows, 0:3] = acc
+        out_ref[ca0 - qs_a : ca0 - qs_a + nb_rows, 3:4] = cacc
+        out_ref[ca0 - qs_a + nb_rows :, :] = jnp.zeros(
+            (npix - ca0 + qs_a - nb_rows, 4), f32)
 
 
-@functools.partial(jax.jit, static_argnames=("tp", "r", "b", "interpret"))
-def apply_scatter(masks, a2t_f, b2_f, gate_f, fbm_f, color_f,
-                  tp: int, r: int, b: int, interpret: bool = False):
-    """K4: correlation-form filter application + patch aggregation.
+@functools.partial(jax.jit, static_argnames=("t", "r", "b", "interpret"))
+def apply_scatter2(masks, a2t_pm, small_pm, color_f,
+                   t: int, r: int, b: int, interpret: bool = False):
+    """K4 v2: correlation-form filter application + patch aggregation.
 
-    masks:  (2b+1, ROWS, 2b+1) from ``masks_moments``
-    a2t_f:  (ROWS, d*d) A2^T maps (k-major packing), zero off-core
-    b2_f:   (ROWS, d) b2 maps, zero off-core
-    gate_f: (ROWS, 1) main-path gate (center_valid & n >= d+1)
-    fbm_f:  (ROWS, d+1) [fallback * mean-patch, fallback flag]
-    color_f:(ROWS, 3) color slab (same as K1)
-    Returns (ROWS, 4): [output color sums, estimate counts] in flat rows —
+    masks:    (2b+1, tp^2, 2b+1) from ``masks_moments2``
+    a2t_pm:   (t^2, d*d) A2^T maps (k-major), compact pixel-major rows
+    small_pm: (t^2, 64) packed [b2, gate, fb*mean-patch, fb] rows
+    color_f:  (tp^2, 3) color slab (same as K1)
+    Returns (tp^2, 4): [output color sums, estimate counts] in flat rows —
     the apron-inclusive overlap-add contribution of this tile.
     """
-    tps, r0, rows = flat_geometry(tp, b, r)
+    from bcd_tpu.ops.solve_filter_pallas import SMALL_CH
+
+    h, tp, cb0, ncore, _, _ = pm_geometry(t, r, b)
+    ca0, ncand, p0 = k4_geometry(t, r, b)
+    npix = tp * tp
+    srows = npix + 2 * p0
     d = 3 * (2 * r + 1) ** 2
     nd = 2 * b + 1
 
-    kernel = functools.partial(
-        _apply_scatter_kernel, tp=tp, r=r, b=b, r0=r0, tps=tps, rows=rows)
+    kernel = functools.partial(_apply_scatter2_kernel, t=t, r=r, b=b)
 
     const = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda o: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
@@ -510,26 +569,26 @@ def apply_scatter(masks, a2t_f, b2_f, gate_f, fbm_f, color_f,
         kernel,
         grid=(nd + 1,),  # steps [0, nd) accumulate; step nd emits
         in_specs=[
-            pl.BlockSpec((rows, nd),
+            pl.BlockSpec((npix, nd),
                          lambda o: (jnp.minimum(o, nd - 1), 0),
                          memory_space=pltpu.VMEM),
-            const((rows, d * d)),
-            const((rows, d)),
-            const((rows, 1)),
-            const((rows, d + 1)),
-            const((rows, 3)),
+            const((t * t, d * d)),
+            const((t * t, SMALL_CH)),
+            const((npix, 3)),
         ],
-        out_specs=pl.BlockSpec((rows, 4), lambda o: (0, 0),
+        out_specs=pl.BlockSpec((npix, 4), lambda o: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((npix, 4), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tp * tps, d * d), jnp.float32),  # wa_s
-            pltpu.VMEM((tp * tps, d), jnp.float32),      # wb_s
-            pltpu.VMEM((tp * tps, 1), jnp.float32),      # cnt_s
+            pltpu.VMEM((srows, d * d), jnp.float32),     # a2f_s
+            pltpu.VMEM((srows, SMALL_CH), jnp.float32),  # smf_s
+            pltpu.VMEM((srows, nd), jnp.float32),        # mpad_s
+            pltpu.VMEM((ncand, d * d), jnp.float32),     # wa_s
+            pltpu.VMEM((ncand, d), jnp.float32),         # wb_s
+            pltpu.VMEM((ncand, 1), jnp.float32),         # cnt_s
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(masks.reshape(nd * masks.shape[1], nd), a2t_f, b2_f,
-      gate_f, fbm_f, color_f)
+    )(masks.reshape(nd * npix, nd), a2t_pm, small_pm, color_f)
     return out

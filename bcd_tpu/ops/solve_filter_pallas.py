@@ -450,28 +450,33 @@ def solve_filter(C_t, mask_t, noise_t, n_t, m_t, min_eigen,
     )(C_t, mask_t, noise_t, n_t, m_t, eps)
 
 
-def _solve_matrices_kernel(m2_ref, msum_ref, nov_ref, n_ref, eps_ref,
-                           a2t_ref, b2_ref,
-                           a_s, vt_s, lam_s, lt_s, rhs_s, t2t_s,
-                           work_s, bd_s, a1t_s, h_s, m_s,
-                           *, d, npx, sweeps, lanes):
-    dp = d + 1 if d % 2 else d
-    P = lanes
-    f32 = jnp.float32
+def _two_step_solve(m2, msum, nov_read, n, eps,
+                    a_s, vt_s, lam_s, lt_s, rhs_s, t2t_s,
+                    work_s, bd_s, a1t_s, h_s, m_s,
+                    *, d, npx, sweeps):
+    """Shared math core of the moment-form solve (values in, values out).
 
-    n = n_ref[:]  # (1, P)
-    eps = eps_ref[0, 0]
+    m2:   (d, d, P) raw masked second moments
+    msum: (d, P) masked patch sums (NOT yet / n)
+    nov_read(idx): (1, P) masked patch-cov channel sum (NOT yet / n)
+    n:    (1, P) similar-set sizes
+    Returns (a2t (d, d, P) with a2t[k, j] = A2[j, k], b2 (1, d, P),
+    m (d, P) the masked mean). Scratch refs as in the callers.
+    """
+    dp = d + 1 if d % 2 else d
+    P = n.shape[-1]
+    f32 = jnp.float32
     inv_n = 1.0 / jnp.maximum(n, 1.0)
     _, _, eye3 = _eye3(d)
 
-    m_s[:] = msum_ref[:] * inv_n  # masked mean m = msum / n, (d, P)
+    m_s[:] = msum * inv_n  # masked mean m = msum / n, (d, P)
     m = m_s[:]
     nm1 = jnp.maximum(n - 1.0, 1.0)
-    cemp = (m2_ref[:] - n[None] * m[:, None, :] * m[None, :, :]) / nm1[None]
+    cemp = (m2 - n[None] * m[:, None, :] * m[None, :, :]) / nm1[None]
     work_s[:] = cemp  # keep Cemp for step 2
 
     bd_s[:] = _blockdiag_noise(
-        lambda idx: nov_ref[pl.ds(idx, 1)] * inv_n, d, npx, P)
+        lambda idx: nov_read(idx) * inv_n, d, npx, P)
     bd = bd_s[:]
 
     clamped = _jacobi_clamp_psd(cemp - bd, d, dp, sweeps, vt_s, lam_s)
@@ -492,7 +497,7 @@ def _solve_matrices_kernel(m2_ref, msum_ref, nov_ref, n_ref, eps_ref,
 
     # A2^T = I - T2^T, in the k-major packing apply_scatter expects:
     # a2t[k, j] = A2[j, k]
-    a2t_ref[:] = jnp.broadcast_to(eye3, (d, d, P)) - t2t_s[:]
+    a2t = jnp.broadcast_to(eye3, (d, d, P)) - t2t_s[:]
 
     # b2 = T2 m: b2[i] = sum_k T2T[k, i] m[k]
     def b2_step(k, acc):
@@ -500,8 +505,22 @@ def _solve_matrices_kernel(m2_ref, msum_ref, nov_ref, n_ref, eps_ref,
         mk = m_s[pl.ds(k, 1)]  # (1, P)
         return acc + t2tk * mk[None]
 
-    b2_ref[:] = jax.lax.fori_loop(
-        0, d, b2_step, jnp.zeros((1, d, P), f32))
+    b2 = jax.lax.fori_loop(0, d, b2_step, jnp.zeros((1, d, P), f32))
+    return a2t, b2, m
+
+
+def _solve_matrices_kernel(m2_ref, msum_ref, nov_ref, n_ref, eps_ref,
+                           a2t_ref, b2_ref,
+                           a_s, vt_s, lam_s, lt_s, rhs_s, t2t_s,
+                           work_s, bd_s, a1t_s, h_s, m_s,
+                           *, d, npx, sweeps, lanes):
+    a2t, b2, _ = _two_step_solve(
+        m2_ref[:], msum_ref[:], lambda idx: nov_ref[pl.ds(idx, 1)],
+        n_ref[:], eps_ref[0, 0],
+        a_s, vt_s, lam_s, lt_s, rhs_s, t2t_s, work_s, bd_s, a1t_s, h_s,
+        m_s, d=d, npx=npx, sweeps=sweeps)
+    a2t_ref[:] = a2t
+    b2_ref[:] = b2
 
 
 @functools.partial(
@@ -572,6 +591,188 @@ def solve_matrices(m2_t, msum_t, nov_t, n_t, min_eigen,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(m2_t, msum_t, nov_t, n_t, eps)
+
+
+def _mxu_t(x):
+    """Transpose a 2-D value on the MXU: X^T = dot(I_b, X^T-form) via a
+    dim1 x dim1 contraction against an in-kernel identity. BIT-EXACT for
+    fp32 at precision=HIGHEST (permutation-matrix dots: each output is
+    1.0 * v with the bf16x3 split of v reconstructing exactly — verified
+    on hardware, scripts/probe_transpose.py) and ~free next to the
+    pallas I/O (the probe's no-op I/O baseline times the same)."""
+    nb_ = x.shape[1]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (nb_, nb_), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (nb_, nb_), 1)
+    eye = (ri == ci).astype(jnp.float32)
+    return jax.lax.dot_general(
+        eye, x, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+# misc channel map emitted by masks_moments2 (K1) and consumed here:
+#   [0:d]            masked color-patch sums (msum)
+#   [d:d+6*npx]      masked patch-cov sums (nov)
+#   [d+6*npx]        similar-set size n
+#   [d+6*npx+1]      center_valid flag
+# small_pm channel map emitted for apply_scatter2 (K4):
+#   [0:d]    b2, [d] main-path gate, [d+1:2d+1] fb * mean patch,
+#   [2d+1]   fb flag;  rest zero (pad to 64 lanes)
+SMALL_CH = 64
+
+
+def _solve_matrices_pm_kernel(expand_ref, m2_ref, misc_ref, eps_ref,
+                              a2t_ref, small_ref,
+                              a_s, vt_s, lam_s, lt_s, rhs_s, t2t_s,
+                              work_s, bd_s, a1t_s, h_s, m_s, nov_s, sm_s,
+                              *, d, npx, sweeps):
+    """Pixel-major K2: moments arrive as (128, dtri)/(128, 128) pixel rows
+    straight from K1's compact output; the lane transposes and the
+    triangle expansion run on the MXU in-kernel (this is what deleted the
+    ~2.2 ms/tile XLA marshal between K1->K2->K4, round-2 VERDICT item 1a).
+    Emits the filter back in pixel-major (128, d*d) rows plus the packed
+    small channels [b2, gate, fbm, fb] so K4 needs no XLA marshaling
+    either (gates per reference DenoisingUnit.cpp:182-191, 455-481)."""
+    P = m2_ref.shape[0]  # 128 pixels on the LANE axis after transpose
+    f32 = jnp.float32
+    eps = eps_ref[0, 0]
+
+    # --- MXU marshal in: transpose + triangle expansion in one dot -------
+    # expanded[i, p] = m2_pm[p, tri[i]] = sum_k E[i, k] m2_pm[p, k]
+    m2_t = jax.lax.dot_general(
+        expand_ref[:], m2_ref[:], (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=f32).reshape(d, d, P)
+    misc_t = _mxu_t(misc_ref[:])  # (128 ch, 128 px)
+    msum = misc_t[0:d]
+    nov_s[:] = misc_t[d : d + 6 * npx]
+    n = misc_t[d + 6 * npx : d + 6 * npx + 1]
+    cv = misc_t[d + 6 * npx + 1 : d + 6 * npx + 2]
+
+    a2t, b2, m = _two_step_solve(
+        m2_t, msum, lambda idx: nov_s[pl.ds(idx, 1)], n, eps,
+        a_s, vt_s, lam_s, lt_s, rhs_s, t2t_s, work_s, bd_s, a1t_s, h_s,
+        m_s, d=d, npx=npx, sweeps=sweeps)
+
+    # --- gates (DenoisingUnit.cpp:182-191): main path needs n >= d+1 -----
+    gate = jnp.where((n >= d + 1) & (cv > 0.0), 1.0, 0.0)  # (1, P)
+    fb = cv * (1.0 - gate)
+
+    # --- MXU marshal out: back to pixel-major rows -----------------------
+    a2t_ref[:] = _mxu_t(a2t.reshape(d * d, P))  # (128, d*d)
+    sm_s[0:d] = b2.reshape(d, P)
+    sm_s[d : d + 1] = gate
+    sm_s[d + 1 : 2 * d + 1] = fb * m
+    sm_s[2 * d + 1 : 2 * d + 2] = fb
+    sm_s[2 * d + 2 :] = jnp.zeros((SMALL_CH - 2 * d - 2, P), f32)
+    small_ref[:] = _mxu_t(sm_s[:])  # (128, SMALL_CH)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("npx", "sweeps", "interpret"))
+def solve_matrices_pm(m2_pm, misc_pm, min_eigen,
+                      npx: int = 9, sweeps: int = 6,
+                      interpret: bool = False):
+    """Run the pixel-major moment-form solve (K2 of the fused pipeline).
+
+    m2_pm:   (P, d(d+1)/2) RAW masked second moments, upper-triangle
+             packed, PIXEL rows (K1's compact core output)
+    misc_pm: (P, 128) packed small moments (channel map above)
+    Returns (a2t_pm (P, d*d) with row p = A2[p]^T k-major flattened,
+    small_pm (P, 64) = [b2, gate, fb*m, fb]). P % 128 == 0.
+    """
+    from bcd_tpu.ops.fused_pallas import tri_geometry
+
+    p_total, dtri = m2_pm.shape
+    d = int((np.sqrt(8 * dtri + 1) - 1) / 2)
+    assert d * (d + 1) // 2 == dtri, dtri
+    assert p_total % LANES == 0, p_total
+    dp = d + 1 if d % 2 else d
+    _, tri_expand, _ = tri_geometry(d)
+    expand = np.zeros((d * d, dtri), np.float32)
+    expand[np.arange(d * d), tri_expand] = 1.0
+
+    kernel = functools.partial(
+        _solve_matrices_pm_kernel, d=d, npx=npx, sweeps=sweeps)
+
+    eps = jnp.asarray(min_eigen, jnp.float32).reshape(1, 1)
+    dd = lambda: pltpu.VMEM((d, d, LANES), jnp.float32)  # noqa: E731
+    scratch = [
+        dd(),                                      # a_s (cholesky working)
+        pltpu.VMEM((dp, dp, LANES), jnp.float32),  # vt_s
+        pltpu.VMEM((dp, LANES), jnp.float32),      # lam_s
+        dd(),                                      # lt_s
+        dd(),                                      # rhs_s (solve RHS/X)
+        dd(),                                      # t2t_s
+        dd(),                                      # work_s (Cemp)
+        dd(),                                      # bd_s
+        dd(),                                      # a1t_s
+        dd(),                                      # h_s
+        pltpu.VMEM((d, LANES), jnp.float32),       # m_s
+        pltpu.VMEM((6 * npx, LANES), jnp.float32),  # nov_s
+        pltpu.VMEM((SMALL_CH, LANES), jnp.float32),  # sm_s
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(p_total // LANES,),
+        in_specs=[
+            pl.BlockSpec((d * d, dtri), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, dtri), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((LANES, d * d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, SMALL_CH), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((p_total, d * d), jnp.float32),
+            jax.ShapeDtypeStruct((p_total, SMALL_CH), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(expand), m2_pm, misc_pm, eps)
+
+
+def solve_matrices_pm_reference(m2_pm, misc_pm, min_eigen,
+                                npx: int = 9, exact_floor: bool = True):
+    """Plain-XLA twin of ``solve_matrices_pm``: same pixel-major inputs
+    and outputs."""
+    from bcd_tpu.ops.cov3x3 import blockdiag_expand, cov6_to_mat3
+    from bcd_tpu.ops.fused_pallas import tri_geometry
+
+    p_total, dtri = m2_pm.shape
+    d = int((np.sqrt(8 * dtri + 1) - 1) / 2)
+    _, tri_expand, _ = tri_geometry(d)
+    m2 = m2_pm[:, tri_expand].reshape(p_total, d, d)
+    msum = misc_pm[:, 0:d]
+    nov = misc_pm[:, d : d + 6 * npx]
+    n = misc_pm[:, d + 6 * npx]
+    cv = misc_pm[:, d + 6 * npx + 1]
+    nsafe = jnp.maximum(n, 1.0)
+    m = msum / nsafe[:, None]
+    noise6 = nov.reshape(p_total, npx, 6) / nsafe[:, None, None]
+    bd = blockdiag_expand(cov6_to_mat3(noise6))
+    nm1 = jnp.maximum(n - 1.0, 1.0)[:, None, None]
+    cemp = (m2 - n[:, None, None] * m[:, :, None] * m[:, None, :]) / nm1
+
+    a2, b2 = _solve_core_reference(cemp, bd, m, min_eigen, exact_floor)
+    gate = ((n >= d + 1) & (cv > 0.0)).astype(jnp.float32)
+    fb = cv * (1.0 - gate)
+    a2t_pm = jnp.swapaxes(a2, -1, -2).reshape(p_total, d * d)
+    small = jnp.zeros((p_total, SMALL_CH), jnp.float32)
+    small = small.at[:, 0:d].set(b2)
+    small = small.at[:, d].set(gate)
+    small = small.at[:, d + 1 : 2 * d + 1].set(fb[:, None] * m)
+    small = small.at[:, 2 * d + 1].set(fb)
+    return a2t_pm, small
 
 
 def _solve_core_reference(cemp, bd, m, min_eigen, exact_floor=True):

@@ -5,16 +5,25 @@ and the Pallas kernels are exercised there in interpret mode only — a
 Mosaic miscompile would ship undetected. This script closes that gap on
 the real chip:
 
-1. COMPILED solve kernel (``solve_matrices``) vs its XLA twin.
-2. The fully fused K1->K2->K4 engine path vs the XLA engine path on a
-   synthetic scene (both compiled on the device).
+1. COMPILED pixel-major solve kernel (``solve_matrices_pm``, the
+   production K2) vs a float64 numpy truth.
+2. The fully fused K1->K2->K4 engine path vs the XLA engine path on the
+   golden scene, at BOTH tile=16 and the bench/production tile=48 (the
+   VMEM-edge configuration where the kernels compile differently).
 3. The engine vs the committed golden fixtures (native CPU engine
-   outputs, tests/golden/) — RMSE < 1e-4, same gate as the CPU tests.
-4. A timing-variance probe (3 runs): >1.2x spread flags tenancy
-   contention that would corrupt benchmark numbers.
+   outputs, tests/golden/) — RMSE < 1e-4, same gate as the CPU tests —
+   plus the -s 3 multiscale path (fused vs XLA, both compiled).
+4. The candidate-stack Pallas path (patch_radius=2, ``solve_filter``)
+   compiled vs the XLA engine — the only other kernel path reachable
+   from the CLI.
+5. ``denoise_monoscale_spatial`` on a 1-device mesh of the real chip vs
+   the plain engine: Pallas-under-shard_map compiled on hardware.
+6. A timing-variance probe (3 runs): >1.2x spread means tenancy
+   contention that would corrupt benchmark numbers — treated as a
+   FAILURE (exit non-zero), per the round-2 verdict.
 
-Exits non-zero on any accuracy failure. Requires exclusive use of the
-TPU (see .claude/skills/verify/SKILL.md).
+Exits non-zero on any failure. Requires exclusive use of the TPU
+(see .claude/skills/verify/SKILL.md).
 """
 
 from __future__ import annotations
@@ -35,17 +44,12 @@ def rmse(a, b):
         (np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)))
 
 
-def _solve_truth_f64(m2, msum, nov, n, eps, npx):
-    """Float64 numpy statement of the two-step solve (exact eigen floor),
-    in the kernel's (d, d, P)/(1, d, P) output layout."""
-    d = m2.shape[0]
-    P = m2.shape[-1]
-    nn = n[0].astype(np.float64)
-    nsafe = np.maximum(nn, 1.0)
-    m2p = np.moveaxis(m2, -1, 0).astype(np.float64)  # (P, d, d)
-    m = np.moveaxis(msum, -1, 0).astype(np.float64) / nsafe[:, None]
-    nov6 = np.moveaxis(nov, -1, 0).astype(np.float64).reshape(P, npx, 6) \
-        / nsafe[:, None, None]
+def _solve_truth_f64(m2p, m, nov6, nn, eps):
+    """Float64 numpy statement of the two-step solve (exact eigen floor).
+    m2p (P, d, d) RAW second moments; m (P, d) means; nov6 (P, npx, 6)
+    MEAN noise blocks; nn (P,) set sizes. Returns (a2 (P, d, d), b2)."""
+    P, d, _ = m2p.shape
+    npx = nov6.shape[1]
     bd = np.zeros((P, d, d))
     pairs = [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]
     for q in range(npx):
@@ -70,8 +74,7 @@ def _solve_truth_f64(m2, msum, nov, n, eps, npx):
     t2 = np.einsum("pkl,plj->pkj", bd, inv2)
     a2 = eye - t2
     b2 = np.einsum("pkl,pl->pk", t2, m)
-    a2t = np.moveaxis(np.swapaxes(a2, -1, -2), 0, -1)
-    return a2t, np.moveaxis(b2, 0, -1)[None]
+    return a2, b2
 
 
 def main() -> int:
@@ -89,35 +92,51 @@ def main() -> int:
               "mode; this gate only means something on the TPU", flush=True)
     failures = []
 
-    # --- 1. compiled solve kernel vs XLA twin -----------------------------
-    from bcd_tpu.ops.solve_filter_pallas import (
-        solve_matrices, solve_matrices_reference)
+    # --- 1. compiled pixel-major solve kernel vs float64 truth -----------
+    from bcd_tpu.ops.fused_pallas import tri_geometry
+    from bcd_tpu.ops.solve_filter_pallas import solve_matrices_pm
 
     rng = np.random.default_rng(99)
     d, npx, O, P = 27, 9, 49, 256
     C = rng.standard_normal((O, d, P)).astype(np.float32)
     mask = (rng.random((O, P)) < 0.7).astype(np.float32)
     mask[O // 2] = 1.0
-    n = mask.sum(axis=0, keepdims=True).astype(np.float32)
+    n = mask.sum(axis=0).astype(np.float32)  # (P,)
     mk = mask[:, None, :]
-    m2 = np.einsum("okp,olp->klp", mk * C, C).astype(np.float32)
-    msum = (mk * C).sum(axis=0).astype(np.float32)
-    nov = np.zeros((6 * npx, P), np.float32)
+    m2p = np.einsum("okp,olp->pkl", mk * C, C).astype(np.float64)
+    msum = (mk * C).sum(axis=0).T.astype(np.float64)  # (P, d)
+    nov6 = np.zeros((P, npx, 6), np.float64)
     for q in range(npx):
-        nov[6 * q : 6 * q + 3] = (0.05 + 0.1 * rng.random((3, P))) * n
-        nov[6 * q + 3 : 6 * q + 6] = 0.01 * rng.standard_normal((3, P)) * n
-    args = tuple(jnp.asarray(x) for x in (m2, msum, nov, n))
-    a2t, b2 = solve_matrices(*args, 1e-8, sweeps=6,
-                             interpret=on_cpu)  # compiled on accelerators
-    # float64 numpy truth (NOT the jax twin: compiled on the TPU, the
-    # twin's own fp32 eigh carries ~5e-4 error and would dominate)
-    a2t_r, b2_r = _solve_truth_f64(m2, msum, nov, n, 1e-8, npx)
-    e1 = max(rmse(a2t, a2t_r), rmse(b2, b2_r))
+        nov6[:, q, 0:3] = (0.05 + 0.1 * rng.random((P, 3)))
+        nov6[:, q, 3:6] = 0.01 * rng.standard_normal((P, 3))
+
+    tri_base, tri_expand, dtri = tri_geometry(d)
+    pack_idx = np.zeros(dtri, np.int64)
+    for k in range(d):
+        for j in range(k, d):
+            pack_idx[tri_base[k] + (j - k)] = k * d + j
+    m2_pm = m2p.reshape(P, d * d)[:, pack_idx].astype(np.float32)
+    misc = np.zeros((P, 128), np.float32)
+    misc[:, 0:d] = msum
+    misc[:, d : d + 6 * npx] = (nov6 * n[:, None, None]).reshape(P, 6 * npx)
+    misc[:, d + 6 * npx] = n
+    misc[:, d + 6 * npx + 1] = 1.0
+
+    a2t_pm, small = solve_matrices_pm(
+        jnp.asarray(m2_pm), jnp.asarray(misc), 1e-8, sweeps=6,
+        interpret=on_cpu)  # compiled on accelerators
+    # float64 numpy truth (NOT a jax twin: compiled on the TPU, a twin's
+    # own fp32 eigh carries ~5e-4 error and would dominate)
+    a2_r, b2_r = _solve_truth_f64(
+        m2p, msum / np.maximum(n, 1.0)[:, None], nov6, n.astype(np.float64),
+        1e-8)
+    a2t_r = np.swapaxes(a2_r, -1, -2).reshape(P, d * d)
+    e1 = max(rmse(a2t_pm, a2t_r), rmse(np.asarray(small)[:, 0:d], b2_r))
     ok = e1 < 2e-4
-    print(f"[1] compiled solve_matrices vs twin: rms {e1:.2e} "
+    print(f"[1] compiled solve_matrices_pm vs f64 truth: rms {e1:.2e} "
           f"{'OK' if ok else 'FAIL'}", flush=True)
     if not ok:
-        failures.append("solve_matrices")
+        failures.append("solve_matrices_pm")
 
     # --- 2+3. engine paths vs each other and vs goldens -------------------
     from bcd_tpu.core.monoscale import denoise_monoscale
@@ -132,34 +151,73 @@ def main() -> int:
     cov = image_io.load_multi_channels_exr(os.path.join(gd, "in_cov.exr"))
     params = DenoiserParameters(search_window_radius=6)
 
-    out_fused = denoise_monoscale(mean, nb, histo, cov, params, tile=16,
-                                  use_fused=True)
     out_xla = denoise_monoscale(mean, nb, histo, cov, params, tile=16,
                                 use_fused=False, use_pallas=False)
-    e2 = rmse(out_fused, out_xla)
-    ok = e2 < 1e-4
-    print(f"[2] fused engine vs XLA engine (mono b=6): rms {e2:.2e} "
-          f"{'OK' if ok else 'FAIL'}", flush=True)
-    if not ok:
-        failures.append("fused-vs-xla")
+    for tl in (16, 48):  # 48 = bench/production config (VMEM edge)
+        out_fused = denoise_monoscale(mean, nb, histo, cov, params, tile=tl,
+                                      use_fused=True)
+        e2 = rmse(out_fused, out_xla)
+        ok = e2 < 1e-4
+        print(f"[2] fused engine (tile={tl}) vs XLA engine: rms {e2:.2e} "
+              f"{'OK' if ok else 'FAIL'}", flush=True)
+        if not ok:
+            failures.append(f"fused-vs-xla-t{tl}")
 
     golden_mono = image_io.load_multi_channels_exr(
         os.path.join(gd, "out_mono_b6.exr"))
     golden_multi = image_io.load_multi_channels_exr(
         os.path.join(gd, "out_multi2_b6.exr"))
-    e3a = rmse(out_fused, golden_mono)
+    out_fused48 = denoise_monoscale(mean, nb, histo, cov, params, tile=48,
+                                    use_fused=True)
+    e3a = rmse(out_fused48, golden_mono)
     out_multi = denoise_multiscale(mean, nb, histo, cov, params,
                                    nb_of_scales=2, tile=16)
     e3b = rmse(out_multi, golden_multi)
-    ok = e3a < 1e-4 and e3b < 1e-4
-    print(f"[3] engine vs goldens: mono rms {e3a:.2e}, multi rms {e3b:.2e} "
-          f"{'OK' if ok else 'FAIL'}", flush=True)
+    # -s 3 path (bench config): fused vs XLA engine, both compiled
+    out_s3_f = denoise_multiscale(mean, nb, histo, cov, params,
+                                  nb_of_scales=3, tile=48, use_fused=True)
+    out_s3_x = denoise_multiscale(mean, nb, histo, cov, params,
+                                  nb_of_scales=3, tile=16, use_fused=False,
+                                  use_pallas=False)
+    e3c = rmse(out_s3_f, out_s3_x)
+    ok = e3a < 1e-4 and e3b < 1e-4 and e3c < 1e-4
+    print(f"[3] goldens + -s 3: mono rms {e3a:.2e}, multi2 rms {e3b:.2e}, "
+          f"s3 fused-vs-xla rms {e3c:.2e} {'OK' if ok else 'FAIL'}",
+          flush=True)
     if not ok:
         failures.append("goldens")
 
-    # --- 4. timing variance probe ----------------------------------------
+    # --- 4. candidate-stack Pallas path (r=2), compiled -------------------
+    params_r2 = DenoiserParameters(patch_radius=2, search_window_radius=3)
+    out_r2_p = denoise_monoscale(mean, nb, histo, cov, params_r2, tile=16,
+                                 use_pallas=True, use_fused=False)
+    out_r2_x = denoise_monoscale(mean, nb, histo, cov, params_r2, tile=16,
+                                 use_pallas=False, use_fused=False)
+    e4 = rmse(out_r2_p, out_r2_x)
+    ok = e4 < 1e-4
+    print(f"[4] candidate-stack kernel (r=2) vs XLA: rms {e4:.2e} "
+          f"{'OK' if ok else 'FAIL'}", flush=True)
+    if not ok:
+        failures.append("solve_filter-r2")
+
+    # --- 5. Pallas under shard_map on a 1-device mesh ---------------------
+    from jax.sharding import Mesh
+
+    from bcd_tpu.parallel.spatial import denoise_monoscale_spatial
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("x",))
+    out_sp = denoise_monoscale_spatial(
+        mean, nb, histo, cov, params, mesh1, tile=48, use_fused=not on_cpu)
+    e5 = rmse(out_sp, out_fused48)
+    ok = e5 < 1e-5
+    print(f"[5] spatial shard_map (1-dev mesh, fused) vs plain: rms "
+          f"{e5:.2e} {'OK' if ok else 'FAIL'}", flush=True)
+    if not ok:
+        failures.append("shard_map-fused")
+
+    # --- 6. timing variance probe ----------------------------------------
     def run():
-        out = denoise_monoscale(mean, nb, histo, cov, params, tile=16)
+        out = denoise_monoscale(mean, nb, histo, cov, params, tile=48)
         float(np.asarray(out)[0, 0, 0])
 
     run()
@@ -169,9 +227,12 @@ def main() -> int:
         run()
         times.append(time.perf_counter() - t0)
     spread = max(times) / min(times)
-    print(f"[4] timing spread over 3 runs: {spread:.2f}x "
-          f"({'stable' if spread < 1.2 else 'CONTENDED — do not bench now'})",
+    ok = spread < 1.2
+    print(f"[6] timing spread over 3 runs: {spread:.2f}x "
+          f"({'stable' if ok else 'CONTENDED — numbers not trustable'})",
           flush=True)
+    if not ok and not on_cpu:
+        failures.append("timing-spread")
 
     if failures:
         print(f"FAILURES: {failures}", flush=True)

@@ -24,7 +24,7 @@ def test_fused_engine_matches_xla(rng):
     args = [jnp.asarray(st[k], jnp.float32)
             for k in ("mean", "nb_of_samples", "histo", "cov")]
     ref = _run(MonoscaleConfig(search_radius=3, tile=8), args)
-    got = _run(MonoscaleConfig(search_radius=3, tile=8, use_fused=True), args)
+    got = _run(MonoscaleConfig(search_radius=3, tile=16, use_fused=True), args)
     rms = np.sqrt(np.mean((got - ref) ** 2))
     assert rms < 2e-4, rms
 
@@ -37,6 +37,6 @@ def test_fused_engine_tile_grid_invariance(rng):
     _, st = make_stats(rng, h=13, w=18, spp=16)
     args = [jnp.asarray(st[k], jnp.float32)
             for k in ("mean", "nb_of_samples", "histo", "cov")]
-    a = _run(MonoscaleConfig(search_radius=2, tile=8, use_fused=True), args)
-    bb = _run(MonoscaleConfig(search_radius=2, tile=16, use_fused=True), args)
+    a = _run(MonoscaleConfig(search_radius=2, tile=16, use_fused=True), args)
+    bb = _run(MonoscaleConfig(search_radius=2, tile=32, use_fused=True), args)
     np.testing.assert_allclose(a, bb, rtol=1e-5, atol=1e-6)

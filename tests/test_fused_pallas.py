@@ -1,5 +1,5 @@
-"""Fused spatial kernels (ops/fused_pallas.py) vs a brute-force numpy
-oracle, in interpret mode.
+"""Fused spatial kernels (ops/fused_pallas.py, v2 "pm" contract) vs a
+brute-force numpy oracle, in interpret mode.
 
 The oracle implements the true 2-D semantics (no flat-shift tricks):
 reference chi^2 patch distances (DenoisingUnit.cpp:336-386), masked
@@ -10,12 +10,20 @@ import numpy as np
 
 from tests import reference_impl as oracle
 
-T, B, R = 8, 2, 1
-H = B + R
-TP = T + 2 * H
+T, B, R = 16, 2, 1
 NBINS3 = 30  # 3 x 10 bins keeps the test fast
 D = 3 * (2 * R + 1) ** 2
 ND = 2 * B + 1
+
+
+def _halo():
+    from bcd_tpu.ops.fused_pallas import pm_halo
+
+    return pm_halo(R, B)
+
+
+H = 8  # pm_halo(1, 2); asserted in _flat_inputs
+TP = T + 2 * H
 
 
 def _offsets():
@@ -41,16 +49,6 @@ def _validity():
     core = ((yy >= H) & (yy < H + T) & (xx >= H) & (xx < H + T))
     center_valid = interior & core
     return center_valid, interior
-
-
-def _unflat(flat_rows, want_ch=None):
-    """(tp*TPS[, C]) kernel-output rows -> (TP, TP[, C])."""
-    from bcd_tpu.ops.fused_pallas import flat_geometry
-
-    tps, _, _ = flat_geometry(TP, B, R)
-    arr = np.asarray(flat_rows)
-    arr = arr.reshape(TP, tps, -1)[:, :TP]
-    return arr if want_ch is None else arr[..., :want_ch]
 
 
 def _oracle_masks(histo, nb, threshold):
@@ -83,39 +81,36 @@ def _oracle_masks(histo, nb, threshold):
 
 
 def _flat_inputs(histo, nb, color, pixcov):
+    """pm-flat slabs: the row-major reshape IS the flat layout (no pads)."""
     import jax.numpy as jnp
-    from bcd_tpu.ops.fused_pallas import to_flat
 
+    assert _halo() == H
     center_valid, interior = _validity()
     valid = np.stack([center_valid, interior], axis=-1).astype(np.float32)
-    return (
-        to_flat(jnp.asarray(histo), B, R),
-        to_flat(jnp.asarray(nb), B, R, fill=1.0),
-        to_flat(jnp.asarray(color), B, R),
-        to_flat(jnp.asarray(pixcov), B, R),
-        to_flat(jnp.asarray(valid), B, R),
-    )
+    flat = lambda a: jnp.asarray(a.reshape(TP * TP, a.shape[-1]))  # noqa
+    return (flat(histo), flat(nb), flat(color), flat(pixcov), flat(valid))
 
 
 def _run_k1(histo, nb, color, pixcov, threshold):
-    from bcd_tpu.ops.fused_pallas import masks_moments
+    from bcd_tpu.ops.fused_pallas import masks_moments2
 
     histo_f, nb_f, color_f, pixcov_f, valid_f = _flat_inputs(
         histo, nb, color, pixcov)
-    return masks_moments(
+    return masks_moments2(
         histo_f, nb_f, color_f, pixcov_f, valid_f,
-        threshold, tp=TP, r=R, b=B, interpret=True,
+        threshold, t=T, r=R, b=B, interpret=True,
     )
 
 
 def _masks_2d(masks_k):
-    from bcd_tpu.ops.fused_pallas import flat_geometry
+    m = np.asarray(masks_k)  # (nd, tp*tp, nd) indexed [dyi, z, dxi]
+    m = np.moveaxis(m, 2, 1).reshape(ND * ND, TP * TP)
+    return m.reshape(ND * ND, TP, TP)
 
-    tps, r0, rows = flat_geometry(TP, B, R)
-    m = np.asarray(masks_k)  # (nd, rows, nd) indexed [dyi, :, dxi]
-    m = np.moveaxis(m, 2, 1).reshape(ND * ND, rows)
-    return m[:, r0 : r0 + TP * tps].reshape(
-        ND * ND, TP, tps)[:, :, :TP]
+
+def _compact_2d(arr):
+    """(t*t, C) compact core-pixel-major rows -> (T, T, C)."""
+    return np.asarray(arr).reshape(T, T, -1)
 
 
 def test_masks_match_oracle(rng):
@@ -125,7 +120,8 @@ def test_masks_match_oracle(rng):
     masks = _masks_2d(masks_k)
 
     ref = _oracle_masks(histo, nb, threshold)
-    sel = ref.sum() / max(ref[12].sum(), 1)  # avg candidates per center
+    self_idx = (ND * ND - 1) // 2
+    sel = ref.sum() / max(ref[self_idx].sum(), 1)  # avg candidates/center
     assert 1.5 < sel < 20, f"degenerate test scene (avg similar = {sel})"
     np.testing.assert_array_equal(masks, ref)
 
@@ -137,9 +133,10 @@ def test_moments_match_oracle(rng):
     from bcd_tpu.ops.fused_pallas import tri_geometry
 
     _, tri_expand, _ = tri_geometry(D)
-    m2 = _unflat(m2)[..., tri_expand].reshape(TP, TP, D, D)
-    misc = _unflat(misc)
+    m2 = _compact_2d(m2)[..., tri_expand].reshape(T, T, D, D)
+    misc = _compact_2d(misc)
 
+    center_valid, _ = _validity()
     ref_masks = _oracle_masks(histo, nb, threshold)
     offs = _offsets()
     c64 = color.astype(np.float64)
@@ -158,55 +155,57 @@ def test_moments_match_oracle(rng):
                 msum_ref += v
                 nov_ref += oracle._patch_vector(v64, (y + dy, x + dx), R)
                 n_ref += 1.0
+            cy, cx = y - H, x - H  # compact coords
             np.testing.assert_allclose(
-                m2[y, x], m2_ref, rtol=2e-5, atol=1e-5)
+                m2[cy, cx], m2_ref, rtol=2e-5, atol=1e-5)
             np.testing.assert_allclose(
-                misc[y, x, 0:D], msum_ref, rtol=2e-5, atol=1e-5)
+                misc[cy, cx, 0:D], msum_ref, rtol=2e-5, atol=1e-5)
             np.testing.assert_allclose(
-                misc[y, x, D : D + 54], nov_ref, rtol=2e-5, atol=1e-5)
-            assert misc[y, x, D + 54] == n_ref
+                misc[cy, cx, D : D + 54], nov_ref, rtol=2e-5, atol=1e-5)
+            assert misc[cy, cx, D + 54] == n_ref
+            assert misc[cy, cx, D + 55] == center_valid[y, x]
 
 
 def test_apply_scatter_matches_oracle(rng):
     import jax.numpy as jnp
-    from bcd_tpu.ops.fused_pallas import apply_scatter, to_flat
+    from bcd_tpu.ops.fused_pallas import apply_scatter2
+    from bcd_tpu.ops.solve_filter_pallas import SMALL_CH
 
     histo, nb, color, pixcov = _scene(rng)
     threshold = 0.25
     masks_k, _, misc = _run_k1(histo, nb, color, pixcov, threshold)
-    n_map = _unflat(misc)[..., D + 54]
+    n_map_c = _compact_2d(misc)[..., D + 54]
 
     center_valid, _ = _validity()
-    # synthetic per-pixel filters (the solve stage is tested elsewhere)
-    a2 = rng.standard_normal((TP, TP, D, D)).astype(np.float32) * 0.1
-    b2 = rng.standard_normal((TP, TP, D)).astype(np.float32)
-    mvec = rng.standard_normal((TP, TP, D)).astype(np.float32)
+    core_valid_c = center_valid[H : H + T, H : H + T]
+    # synthetic per-pixel filters over the COMPACT core (the solve stage
+    # is tested elsewhere)
+    a2 = rng.standard_normal((T, T, D, D)).astype(np.float32) * 0.1
+    b2 = rng.standard_normal((T, T, D)).astype(np.float32)
+    mvec = rng.standard_normal((T, T, D)).astype(np.float32)
 
     # the engine gates at n >= d+1; with b=2 there are only 25 candidates,
-    # so use a test-local gate — the gate is an input to the kernel
-    is_main = (n_map >= 12) & center_valid
-    is_fb = center_valid & ~is_main
+    # so use a test-local gate — the gate is an input channel to the kernel
+    is_main = (n_map_c >= 12) & core_valid_c
+    is_fb = core_valid_c & ~is_main
     assert is_main.any() and is_fb.any()
 
-    a2t_maps = is_main[..., None].astype(np.float32) * np.swapaxes(
-        a2, -1, -2).reshape(TP, TP, D * D)
-    b2_maps = np.where(is_main[..., None], b2, 0.0)
-    fbm = np.concatenate(
-        [np.where(is_fb[..., None], mvec, 0.0),
-         is_fb[..., None].astype(np.float32)], axis=-1)
+    a2t_pm = np.swapaxes(a2, -1, -2).reshape(T * T, D * D)
+    small = np.zeros((T * T, SMALL_CH), np.float32)
+    small[:, 0:D] = b2.reshape(T * T, D)
+    small[:, D] = is_main.reshape(-1)
+    small[:, D + 1 : 2 * D + 1] = (
+        is_fb[..., None] * mvec).reshape(T * T, D)
+    small[:, 2 * D + 1] = is_fb.reshape(-1)
 
-    out = apply_scatter(
+    out = apply_scatter2(
         jnp.asarray(masks_k),
-        to_flat(jnp.asarray(a2t_maps), B, R),
-        to_flat(jnp.asarray(b2_maps.astype(np.float32)), B, R),
-        to_flat(is_main[..., None].astype(np.float32), B, R),
-        to_flat(jnp.asarray(fbm.astype(np.float32)), B, R),
-        to_flat(jnp.asarray(color), B, R),
-        tp=TP, r=R, b=B, interpret=True,
+        jnp.asarray(a2t_pm),
+        jnp.asarray(small),
+        jnp.asarray(color.reshape(TP * TP, 3)),
+        t=T, r=R, b=B, interpret=True,
     )
-    from bcd_tpu.ops.fused_pallas import from_flat
-
-    out = np.asarray(from_flat(out, TP, B, R))
+    out = np.asarray(out).reshape(TP, TP, 4)
 
     # oracle: per-center per-candidate filtered patch, scattered at the
     # candidate center (DenoisingUnit.cpp:672-693)
@@ -219,20 +218,21 @@ def test_apply_scatter_matches_oracle(rng):
         for x in range(TP):
             if not center_valid[y, x]:
                 continue
-            if is_main[y, x]:
+            cyx = (y - H, x - H)
+            if is_main[cyx]:
                 for oi, (dy, dx) in enumerate(offs):
                     if not ref_masks[oi, y, x]:
                         continue
                     cy, cx = y + dy, x + dx
                     v = oracle._patch_vector(
                         color.astype(np.float64), (cy, cx), R)
-                    field = a2[y, x].astype(np.float64) @ v + b2[y, x]
+                    field = a2[cyx].astype(np.float64) @ v + b2[cyx]
                     for qi, (qy, qx) in enumerate(qoffs):
                         out_ref[cy + qy, cx + qx] += field[3 * qi : 3 * qi + 3]
                         cnt_ref[cy + qy, cx + qx] += 1.0
             else:
                 for qi, (qy, qx) in enumerate(qoffs):
-                    out_ref[y + qy, x + qx] += mvec[y, x, 3 * qi : 3 * qi + 3]
+                    out_ref[y + qy, x + qx] += mvec[cyx][3 * qi : 3 * qi + 3]
                     cnt_ref[y + qy, x + qx] += 1.0
 
     np.testing.assert_allclose(out[..., :3], out_ref, rtol=3e-5, atol=3e-5)

@@ -55,11 +55,11 @@ def test_spatial_sharding_fused_engine_matches_single_device(rng, mesh4):
     color, nb, histo, cov = small_inputs(rng, h=10, w=24, spp=8)
     params = DenoiserParameters(search_window_radius=2)
     single = np.asarray(denoise_monoscale(
-        color, nb, histo, cov, params, tile=8, use_fused=True))
+        color, nb, histo, cov, params, tile=16, use_fused=True))
     sharded = np.asarray(denoise_monoscale_spatial(
         color, nb, histo, cov, params, Mesh(np.array(jax.devices()[:2]),
                                             ("x",)),
-        tile=8, use_fused=True))
+        tile=16, use_fused=True))
     np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=2e-6)
 
 
@@ -74,10 +74,10 @@ def test_frame_batch_fused_engine(rng, mesh4):
     params = DenoiserParameters(search_window_radius=2)
     mesh2 = Mesh(np.array(jax.devices()[:2]), ("x",))
     out = np.asarray(denoise_frames(
-        colors, nbs, histos, covs, params, mesh=mesh2, axis="x", tile=8,
+        colors, nbs, histos, covs, params, mesh=mesh2, axis="x", tile=16,
         use_fused=True))
     ref0 = np.asarray(denoise_monoscale(
-        colors[0], nbs[0], histos[0], covs[0], params, tile=8,
+        colors[0], nbs[0], histos[0], covs[0], params, tile=16,
         use_fused=True))
     np.testing.assert_allclose(out[0], ref0, rtol=2e-5, atol=2e-6)
 

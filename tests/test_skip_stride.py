@@ -49,7 +49,7 @@ def test_stride_fused_matches_xla(rng):
     for stride in (2, 3):
         ref = _run(MonoscaleConfig(search_radius=3, tile=8,
                                    skip_stride=stride), args)
-        got = _run(MonoscaleConfig(search_radius=3, tile=8, use_fused=True,
+        got = _run(MonoscaleConfig(search_radius=3, tile=16, use_fused=True,
                                    skip_stride=stride), args)
         rms = np.sqrt(np.mean((got - ref) ** 2))
         assert rms < 2e-4, (stride, rms)

@@ -126,3 +126,91 @@ def test_solve_matrices_degenerate_lanes(rng):
         interpret=True)
     assert np.isfinite(np.asarray(a2t)).all()
     assert np.isfinite(np.asarray(b2)).all()
+
+
+def _pm_inputs(rng, d=27, npx=9, P=256):
+    """Pixel-major moment inputs as masks_moments2 (K1 v2) emits them."""
+    from bcd_tpu.ops.fused_pallas import tri_geometry
+
+    m2, msum, nov, n, *_ = _moment_inputs(rng, d=d, npx=npx, P=P)
+    tri_base, tri_expand, dtri = tri_geometry(d)
+    m2_full = np.moveaxis(m2, -1, 0).reshape(P, d * d)  # (P, d*d)
+    # pack the upper triangle: channel tri(k, j<=k..) of pixel p
+    pack_idx = np.zeros(dtri, np.int64)
+    for k in range(d):
+        for j in range(k, d):
+            pack_idx[tri_base[k] + (j - k)] = k * d + j
+    m2_pm = m2_full[:, pack_idx].astype(np.float32)
+    misc = np.zeros((P, 128), np.float32)
+    misc[:, 0:d] = msum.T
+    misc[:, d : d + 6 * npx] = nov.T
+    misc[:, d + 6 * npx] = n[0]
+    cv = (rng.random(P) < 0.9).astype(np.float32)
+    misc[:, d + 6 * npx + 1] = cv
+    return m2_pm, misc
+
+
+def test_solve_matrices_pm_matches_twin(rng):
+    """Pixel-major K2 (MXU in-kernel transposes + gates) vs its XLA twin."""
+    import jax.numpy as jnp
+    from bcd_tpu.ops.solve_filter_pallas import (
+        solve_matrices_pm, solve_matrices_pm_reference)
+
+    m2_pm, misc = _pm_inputs(rng)
+    a2t, small = solve_matrices_pm(
+        jnp.asarray(m2_pm), jnp.asarray(misc), 1e-8, interpret=True,
+        sweeps=10)
+    a2t_r, small_r = solve_matrices_pm_reference(
+        jnp.asarray(m2_pm), jnp.asarray(misc), 1e-8)
+    rms = np.sqrt(np.mean((np.asarray(a2t) - np.asarray(a2t_r)) ** 2))
+    assert rms < 2e-4, rms
+    small, small_r = np.asarray(small), np.asarray(small_r)
+    d = 27
+    # gates must be EXACT
+    np.testing.assert_array_equal(small[:, d], small_r[:, d])
+    np.testing.assert_array_equal(small[:, 2 * d + 1], small_r[:, 2 * d + 1])
+    rms = np.sqrt(np.mean((small - small_r) ** 2))
+    assert rms < 2e-4, rms
+
+
+def test_solve_matrices_pm_consistent_with_lane_form(rng):
+    """The pixel-major kernel is the lane-form kernel + layout changes:
+    same moments through both must give the same filter matrices."""
+    import jax.numpy as jnp
+    from bcd_tpu.ops.fused_pallas import tri_geometry
+    from bcd_tpu.ops.solve_filter_pallas import (
+        solve_matrices, solve_matrices_pm)
+
+    m2, msum, nov, n, *_ = _moment_inputs(rng, P=128)
+    a2t_l, b2_l = solve_matrices(
+        *(jnp.asarray(x) for x in (m2, msum, nov, n)), 1e-8,
+        interpret=True, sweeps=10)
+
+    m2_pm, misc = _pm_inputs(rng, P=128)
+    # rebuild the SAME moments into the pm layout (ignore _pm_inputs' rng
+    # use: feed the lane-form arrays)
+    _, tri_expand, dtri = tri_geometry(27)
+    misc[:, 0:27] = msum.T
+    misc[:, 27:81] = nov.T
+    misc[:, 81] = n[0]
+    misc[:, 82] = 1.0
+    d = 27
+    m2_full = np.moveaxis(m2, -1, 0).reshape(128, d * d)
+    from bcd_tpu.ops.fused_pallas import tri_geometry as tg
+    tri_base, _, _ = tg(d)
+    pack_idx = np.zeros(dtri, np.int64)
+    for k in range(d):
+        for j in range(k, d):
+            pack_idx[tri_base[k] + (j - k)] = k * d + j
+    m2_pm = m2_full[:, pack_idx].astype(np.float32)
+
+    a2t_pm, small = solve_matrices_pm(
+        jnp.asarray(m2_pm), jnp.asarray(misc), 1e-8, interpret=True,
+        sweeps=10)
+    # lane layout a2t_l[k, j, p] = pm row p channel k*d+j
+    want = np.asarray(a2t_l).reshape(d * d, 128).T
+    np.testing.assert_allclose(np.asarray(a2t_pm), want, rtol=2e-5,
+                               atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(small)[:, 0:d], np.asarray(b2_l)[0].T, rtol=2e-5,
+        atol=2e-6)
