@@ -230,9 +230,17 @@ def _make_spd_solve(a_s, rhs_s, lt_s, d, eps):
     forward + back substitution — one fewer O(d^3) pass than forming the
     inverse and multiplying (no Y^T Y product). X is left in rhs_s.
 
+    All three passes are PYTHON loops with STATIC axis-0 slices so each
+    rank-1 update touches only the rows it changes: the Schur update
+    runs on a_s[j+1:], the forward substitution on rhs_s[k+1:], and the
+    back-substitution contraction on rhs_s[k:] (L^T[k, i<k] = 0 — those
+    rows hold Y and contribute nothing). Axis 0 of the (d, d, P) scratch
+    is the untiled major axis, so shrinking slices save real work at
+    every step — the traced-loop version updated all d rows each time
+    (2x the FMAs per solve). Axis-1 (sublane) masks stay full width.
+
     The back pass uses only axis-0 row reads: rows of lt_s are rows of
-    L^T, so sum_i L^T[k,i] * row_i is an axis-0 contraction; rows i < k
-    still hold Y (L^T[k,i<k] = 0 contributes nothing) and row k's
+    L^T, so sum_i L^T[k,i] * row_i is an axis-0 contraction; row k's
     pivot * Y[k] term is added back analytically."""
     f32 = jnp.float32
     _, _, eye3 = _eye3(d)
@@ -242,42 +250,39 @@ def _make_spd_solve(a_s, rhs_s, lt_s, d, eps):
         a_s[:] = mat + eps * eye3
         rhs_s[:] = rhs_val
 
-        def chol_step(j, carry):
-            rowj = a_s[pl.ds(j, 1)]  # (1, d, P)
+        for j in range(d):
+            rowj = a_s[j : j + 1]  # (1, d, P)
             pivot = jnp.sum(rowj * (col_iota == j).astype(f32), axis=1,
                             keepdims=True)
             invp = _rsqrt_exact(jnp.maximum(pivot, 1e-30))
             colv = rowj * invp * (col_iota >= j).astype(f32)
-            lt_s[pl.ds(j, 1)] = colv  # LT row j = L column j
-            a_s[:] = a_s[:] - jnp.swapaxes(colv, 0, 1) * colv
-            return carry
+            lt_s[j : j + 1] = colv  # LT row j = L column j
+            if j + 1 < d:
+                # NOTE: the Schur complement stays symmetric, so row i of
+                # the updated matrix IS column i — rows are all we read
+                a_s[j + 1 :] = (a_s[j + 1 :]
+                                - jnp.swapaxes(colv, 0, 1)[j + 1 :] * colv)
 
-        jax.lax.fori_loop(0, d, chol_step, 0, unroll=d)
-
-        def fwd_step(k, carry):
-            ltrow = lt_s[pl.ds(k, 1)]  # (1, d, P): L column k
+        for k in range(d):
+            ltrow = lt_s[k : k + 1]  # (1, d, P): L column k
             pivot = jnp.sum(ltrow * (col_iota == k).astype(f32), axis=1,
                             keepdims=True)
-            yk = rhs_s[pl.ds(k, 1)] / pivot
-            rhs_s[:] = rhs_s[:] - jnp.swapaxes(ltrow, 0, 1) * yk
-            # L[i, k] = 0 for i < k: rows already holding Y are untouched
-            rhs_s[pl.ds(k, 1)] = yk
-            return carry
+            yk = rhs_s[k : k + 1] / pivot
+            if k + 1 < d:
+                # L[i, k] = 0 for i <= k: only rows below k change
+                rhs_s[k + 1 :] = (rhs_s[k + 1 :]
+                                  - jnp.swapaxes(ltrow, 0, 1)[k + 1 :] * yk)
+            rhs_s[k : k + 1] = yk
 
-        jax.lax.fori_loop(0, d, fwd_step, 0, unroll=d)
-
-        def back_step(i, carry):
-            k = d - 1 - i
-            ltrow = lt_s[pl.ds(k, 1)]  # (1, d, P): row k of L^T
+        for k in range(d - 1, -1, -1):
+            ltrow = lt_s[k : k + 1]  # (1, d, P): row k of L^T
             pivot = jnp.sum(ltrow * (col_iota == k).astype(f32), axis=1,
                             keepdims=True)
-            s_full = jnp.sum(jnp.swapaxes(ltrow, 0, 1) * rhs_s[:], axis=0,
-                             keepdims=True)  # (1, d, P)
-            yk = rhs_s[pl.ds(k, 1)]
-            rhs_s[pl.ds(k, 1)] = (yk - (s_full - pivot * yk)) / pivot
-            return carry
-
-        jax.lax.fori_loop(0, d, back_step, 0, unroll=d)
+            s_full = jnp.sum(
+                jnp.swapaxes(ltrow, 0, 1)[k:] * rhs_s[k:], axis=0,
+                keepdims=True)  # (1, d, P)
+            yk = rhs_s[k : k + 1]
+            rhs_s[k : k + 1] = (yk - (s_full - pivot * yk)) / pivot
 
     return spd_solve
 
