@@ -55,6 +55,7 @@ def print_usage(prog: str) -> None:
     print(f"    -e <float>           Minimum eigen value for matrix inversion (default: {mono.min_eigen_value})")
     print("    --tile <int>         Processing tile size (TPU-specific; default 32)")
     print("    --skip-stride <int>  Solve only every Nth patch center (deterministic analog of the reference's skip-marking heuristic); 1 = exact, 2/3 trade quality for throughput (default: 1)")
+    print("    --stats              Print a per-phase time/pixel-count report after the run (the reference's COMPUTE_DENOISING_STATS build option, always available here)")
 
 
 class _Args:
@@ -66,6 +67,7 @@ class _Args:
         self.pipeline = P.PipelineParameters()
         self.tile: Optional[int] = None
         self.skip_stride: int = 1
+        self.stats: bool = False
 
 
 def _expect_value(argv: List[str], i: int, flag: str, msg: str) -> str:
@@ -161,6 +163,9 @@ def parse_args(argv: List[str]) -> Optional[_Args]:
         elif flag == "--skip-stride":
             args.skip_stride = int(_expect_value(argv, i, flag, "stride"))
             i += 2
+        elif flag == "--stats":
+            args.stats = True
+            i += 1
         else:
             i += 1  # unknown tokens skipped, like the reference parser
 
@@ -224,13 +229,24 @@ def launch(argv: List[str]) -> int:
             last_pct[0] = pct
             print(f"\r{pct} %", end="", flush=True)
 
+    stats = None
+    if args.stats:
+        from bcd_tpu.chrono import PhaseStats
+
+        stats = PhaseStats()
+
     out = denoise_pipeline(
         color, nb, histo, cov, args.pipeline, tile=args.tile,
         progress_callback=progress, skip_stride=args.skip_stride,
+        stats=stats,
     )
     print()
     image_io.write_exr(out, args.output_path)
     print(f"Written denoised output in file {args.output_path}")
+    if stats is not None:
+        # the reference prints its DenoisingStatistics tree after the run
+        # (DenoisingUnit.cpp:71-94 printChronometers + counters)
+        print(stats.report())
     return 0
 
 

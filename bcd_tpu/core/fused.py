@@ -44,7 +44,7 @@ from bcd_tpu.ops.solve_filter_pallas import solve_matrices_pm
 def denoise_tile_fused(cfg, color_pad, nb_pad, histo_pad, pixcov_pad,
                        gy, gx, ly, lx, core_h, core_w, height, width,
                        threshold, min_eigen, interpret: bool = False,
-                       sweeps: int = 6):
+                       sweeps: int = 6, collect_stats: bool = False):
     """Denoise one tile with the fused kernels. Same contract as
     monoscale.denoise_tile: inputs are (T+2h, T+2h, C) slabs, returns
     (out_sum (T+2h, T+2h, 3), count (T+2h, T+2h)) apron-inclusive
@@ -93,4 +93,12 @@ def denoise_tile_fused(cfg, color_pad, nb_pad, histo_pad, pixcov_pad,
         masks, a2t_pm, small_pm, color_f,
         t=t, r=r, b=b, interpret=interpret,
     ).reshape(tp, tp, 4)
+    if collect_stats:
+        # K2's packed small rows carry the per-pixel gates (main-path gate
+        # at column d, fallback flag at column 2d+1 — both 0 on padded and
+        # invalid rows), so the DenoisingStatistics counters are free sums
+        d = 3 * cfg.npx
+        tile_counts = jnp.stack([
+            jnp.sum(small_pm[:, d]), jnp.sum(small_pm[:, 2 * d + 1])])
+        return out[..., 0:3], out[..., 3], tile_counts
     return out[..., 0:3], out[..., 3]

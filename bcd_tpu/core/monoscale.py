@@ -118,6 +118,10 @@ class MonoscaleConfig(NamedTuple):
     #                       patch aggregation still covers every pixel.
     tile_batch: int = 1  # tiles processed together per scan step (bigger
     #                      XLA op shapes; memory grows linearly)
+    collect_stats: bool = False  # also accumulate (main-path, fallback)
+    #                              pixel counts on device — the analog of
+    #                              the reference's DenoisingStatistics
+    #                              counters (DenoisingUnit.cpp:56-69)
 
     @property
     def halo(self) -> int:
@@ -315,6 +319,7 @@ def denoise_tile(cfg: MonoscaleConfig, color_pad, nb_pad, histo_pad, pixcov_pad,
             threshold, min_eigen,
             interpret=jax.default_backend() == "cpu",
             sweeps=cfg.solve_sweeps,
+            collect_stats=cfg.collect_stats,
         )
 
     t, r, b, h = cfg.tile, cfg.patch_radius, cfg.search_radius, cfg.halo
@@ -493,6 +498,8 @@ def denoise_tile(cfg: MonoscaleConfig, color_pad, nb_pad, histo_pad, pixcov_pad,
     # rolls wrap across the apron edge; candidates live in [h-b, h+t+b) and
     # |q| <= r so writes stay within [h-b-r, h+t+b+r) = [0, tp): no wrap of
     # real data can occur — the wrapped lanes are zero.
+    if cfg.collect_stats:
+        return out_sum, count, jnp.stack([jnp.sum(main_f), jnp.sum(fb_f)])
     return out_sum, count
 
 
@@ -567,9 +574,14 @@ def denoise_accumulate(cfg: MonoscaleConfig, color_p, nb_p, histo_p, cov_p,
     n_chunks = chunked.shape[0]
 
     def body(carry, chunk):
-        out_acc, cnt_acc = carry
+        out_acc, cnt_acc, stats_acc = carry
         origins, valid, chunk_i = chunk
-        outs, cnts = jax.vmap(one_tile)(origins)  # (tb, tp, tp, 3/1)
+        res = jax.vmap(one_tile)(origins)  # (tb, tp, tp, 3/1)
+        if cfg.collect_stats:
+            outs, cnts, tstats = res
+            stats_acc = stats_acc + jnp.sum(tstats * valid[:, None], axis=0)
+        else:
+            outs, cnts = res
         outs = outs * valid[:, None, None, None]
         cnts = cnts * valid[:, None, None]
         for i in range(tb):  # sequential overlap-add (writes may overlap)
@@ -585,18 +597,22 @@ def denoise_accumulate(cfg: MonoscaleConfig, color_p, nb_p, histo_p, cov_p,
             # integer-percent callbacks within a scale, Denoiser.cpp:179-192)
             jax.debug.callback(
                 _emit_progress, chunk_i + 1, n_chunks, ordered=True)
-        return (out_acc, cnt_acc), None
+        return (out_acc, cnt_acc, stats_acc), None
 
     out0 = _zeros_like_varying((hp + 2 * h, wp + 2 * h, 3), color_p)
     cnt0 = _zeros_like_varying((hp + 2 * h, wp + 2 * h), color_p)
-    (out_acc, cnt_acc), _ = jax.lax.scan(
-        body, (out0, cnt0),
+    stats0 = _zeros_like_varying((2,), color_p)
+    (out_acc, cnt_acc, stats_acc), _ = jax.lax.scan(
+        body, (out0, cnt0, stats0),
         (chunked, mask_chunked, jnp.arange(n_chunks, dtype=jnp.int32)))
 
-    return (
+    trimmed = (
         out_acc[: core_h + 2 * h, : core_w + 2 * h],
         cnt_acc[: core_h + 2 * h, : core_w + 2 * h],
     )
+    if cfg.collect_stats:
+        return trimmed + (stats_acc,)
+    return trimmed
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -608,13 +624,18 @@ def _denoise_image(cfg: MonoscaleConfig, color, nb, histo, cov,
     def pad(img, fill=0.0):
         return jnp.pad(img, ((h, h), (h, h), (0, 0)), constant_values=fill)
 
-    out_acc, cnt_acc = denoise_accumulate(
+    res = denoise_accumulate(
         cfg, pad(color), pad(nb, 1.0), pad(histo), pad(cov),
         threshold, min_eigen, origin=(0, 0), global_shape=(height, width),
     )
+    out_acc, cnt_acc = res[0], res[1]
     out = out_acc[h : h + height, h : h + width]
     cnt = cnt_acc[h : h + height, h : h + width]
-    return jnp.where(cnt[..., None] > 0, out / jnp.maximum(cnt, 1.0)[..., None], 0.0)
+    final = jnp.where(
+        cnt[..., None] > 0, out / jnp.maximum(cnt, 1.0)[..., None], 0.0)
+    if cfg.collect_stats:
+        return final, res[2]
+    return final
 
 
 def auto_engine_config(params: DenoiserParameters,
@@ -623,7 +644,8 @@ def auto_engine_config(params: DenoiserParameters,
                        tile_batch: int | None = None,
                        use_fused: bool | None = None,
                        skip_stride: int = 1,
-                       report_progress: bool = False) -> MonoscaleConfig:
+                       report_progress: bool = False,
+                       collect_stats: bool = False) -> MonoscaleConfig:
     """Resolve the engine configuration for the current backend — the ONE
     place engine selection happens, shared by ``denoise_monoscale`` and the
     scale-out drivers (bcd_tpu/parallel/) so sharded slabs run exactly the
@@ -655,6 +677,7 @@ def auto_engine_config(params: DenoiserParameters,
         tile_batch=tile_batch,
         skip_stride=skip_stride,
         report_progress=report_progress,
+        collect_stats=collect_stats,
     )
 
 
@@ -664,15 +687,23 @@ def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
                       tile_batch: int | None = None,
                       use_fused: bool | None = None,
                       skip_stride: int = 1,
-                      progress_callback: Callable[[float], None] | None = None):
+                      progress_callback: Callable[[float], None] | None = None,
+                      stats=None):
     """Denoise one scale. Arrays are (H, W, C) float32 (numpy or jax);
     returns a jax array (H, W, 3). On accelerator backends the fully fused
     K1->K2->K4 spatial pipeline is the default (measured fastest on v5e);
-    pass ``use_fused``/``use_pallas``/``tile_batch`` to override."""
+    pass ``use_fused``/``use_pallas``/``tile_batch`` to override.
+
+    ``stats``: an optional :class:`bcd_tpu.chrono.PhaseStats` — when given,
+    the scale is timed (with a device sync, so enabling stats adds one
+    blocking readback per scale) and the reference's DenoisingStatistics
+    counters (DenoisingUnit.cpp:56-69: managed pixels, main-path solves,
+    mean-patch fallbacks) are accumulated on device and recorded."""
     cfg = auto_engine_config(
         params, tile=tile, use_pallas=use_pallas, tile_batch=tile_batch,
         use_fused=use_fused, skip_stride=skip_stride,
         report_progress=progress_callback is not None,
+        collect_stats=stats is not None,
     )
     args = (
         cfg,
@@ -683,12 +714,31 @@ def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
         jnp.float32(params.histogram_distance_threshold),
         jnp.float32(params.min_eigen_value),
     )
-    if progress_callback is None:
-        return _denoise_image(*args)
-    with progress_scope(progress_callback):
-        out = _denoise_image(*args)
-        # drain the ordered callbacks before leaving the scope (dispatch is
-        # async; a scalar readback is the only reliable sync on the axon
-        # tunnel, where block_until_ready can return early)
-        float(jnp.sum(out))
+
+    def run():
+        res = _denoise_image(*args)
+        if not cfg.collect_stats:
+            return res
+        out, counts = res
+        n_main, n_fb = (int(x) for x in np.asarray(counts))
+        stats.count("pixels: main-path solves", n_main)
+        stats.count("pixels: fallback (mean patch)", n_fb)
+        stats.count("pixels: managed", n_main + n_fb)
+        return out
+
+    ctx = (stats.phase(f"denoise {color.shape[1]}x{color.shape[0]}")
+           if stats is not None else contextlib.nullcontext())
+    with ctx:
+        if progress_callback is None:
+            out = run()
+        else:
+            with progress_scope(progress_callback):
+                out = run()
+                # drain the ordered callbacks before leaving the scope
+                # (dispatch is async; a scalar readback is the only reliable
+                # sync on the axon tunnel, where block_until_ready can
+                # return early)
+                float(jnp.sum(out))
+        if stats is not None:
+            float(jnp.sum(out))  # sync so the phase timer sees real work
     return out

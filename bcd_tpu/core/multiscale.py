@@ -44,24 +44,37 @@ def denoise_multiscale(
     skip_stride: int = 1,
     use_fused: Optional[bool] = None,
     use_pallas: Optional[bool] = None,
+    stats=None,
 ):
-    """Full multiscale denoise; returns a jax array (H, W, 3)."""
+    """Full multiscale denoise; returns a jax array (H, W, 3).
+
+    ``stats``: optional :class:`bcd_tpu.chrono.PhaseStats`; records pyramid
+    build/merge times and per-scale engine phases + DenoisingStatistics
+    counters (adds one sync per phase — a profiling mode, not the
+    production path)."""
+    import contextlib
+
     color = jnp.asarray(color, jnp.float32)
     nb = jnp.asarray(nb, jnp.float32)
     histo = jnp.asarray(histo, jnp.float32)
     cov = jnp.asarray(cov, jnp.float32)
 
-    inputs = [(color, nb, histo, cov)]
-    for _ in range(nb_of_scales - 1):
-        c, n, h, sc = inputs[-1]
-        inputs.append(
-            (
-                resample.downscale_average(c),
-                resample.downscale_sum(n),
-                resample.downscale_sum(h),
-                resample.downscale_sample_covariance_sum(sc, n),
+    ctx = (stats.phase("pyramid build") if stats is not None
+           else contextlib.nullcontext())
+    with ctx:
+        inputs = [(color, nb, histo, cov)]
+        for _ in range(nb_of_scales - 1):
+            c, n, h, sc = inputs[-1]
+            inputs.append(
+                (
+                    resample.downscale_average(c),
+                    resample.downscale_sum(n),
+                    resample.downscale_sum(h),
+                    resample.downscale_sample_covariance_sum(sc, n),
+                )
             )
-        )
+        if stats is not None and nb_of_scales > 1:
+            float(jnp.sum(inputs[-1][0]))  # sync for honest phase timing
 
     merged = None
     for scale in range(nb_of_scales - 1, -1, -1):
@@ -74,8 +87,15 @@ def denoise_multiscale(
         out = denoise_monoscale(c, n, h, sc, params, tile=tile,
                                 skip_stride=skip_stride,
                                 use_fused=use_fused, use_pallas=use_pallas,
-                                progress_callback=scale_cb)
+                                progress_callback=scale_cb, stats=stats)
         if progress_callback is not None:
             progress_callback(mapper(1.0))
-        merged = out if merged is None else resample.merge_outputs(out, merged)
+        if merged is None:
+            merged = out
+        elif stats is not None:
+            with stats.phase("merge"):
+                merged = resample.merge_outputs(out, merged)
+                float(jnp.sum(merged))  # sync for honest phase timing
+        else:
+            merged = resample.merge_outputs(out, merged)
     return merged

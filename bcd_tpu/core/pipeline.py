@@ -31,12 +31,20 @@ def denoise_pipeline(
     tile: Optional[int] = None,
     progress_callback: Optional[Callable[[float], None]] = None,
     skip_stride: int = 1,
+    stats=None,
 ) -> np.ndarray:
     """Full pipeline on in-memory arrays; returns (H, W, 3) float32 numpy.
 
     ``skip_stride`` > 1 solves only every skip_stride-th patch center (the
     deterministic analog of the reference's skip-marking heuristic,
-    DenoisingUnit.cpp:163-173) — a quality/throughput trade; 1 = exact."""
+    DenoisingUnit.cpp:163-173) — a quality/throughput trade; 1 = exact.
+
+    ``stats``: optional :class:`bcd_tpu.chrono.PhaseStats` — phase timers
+    (prefilter / pyramid / per-scale denoise / merge) + the reference's
+    DenoisingStatistics pixel counters (DenoisingUnit.cpp:56-69), at the
+    cost of one device sync per phase."""
+    import contextlib
+
     p = pipeline_params or PipelineParameters()
 
     color = jnp.asarray(colors, jnp.float32)
@@ -45,21 +53,29 @@ def denoise_pipeline(
     cov = jnp.asarray(sample_covariances, jnp.float32)
 
     if p.prefiltering.perform_spike_removal:
-        color, nb, histo, cov = spike_removal(
-            color, nb, histo, cov,
-            jnp.float32(p.prefiltering.spike_removal_threshold_stdev_factor),
-        )
+        ctx = (stats.phase("spike-removal prefilter") if stats is not None
+               else contextlib.nullcontext())
+        with ctx:
+            color, nb, histo, cov = spike_removal(
+                color, nb, histo, cov,
+                jnp.float32(
+                    p.prefiltering.spike_removal_threshold_stdev_factor),
+            )
+            if stats is not None:
+                float(jnp.sum(color))  # sync for honest phase timing
 
     if p.denoiser.nb_of_scales > 1:
         out = denoise_multiscale(
             color, nb, histo, cov, p.denoiser.monoscale,
             nb_of_scales=p.denoiser.nb_of_scales, tile=tile,
             progress_callback=progress_callback, skip_stride=skip_stride,
+            stats=stats,
         )
     else:
         out = denoise_monoscale(color, nb, histo, cov, p.denoiser.monoscale,
                                 tile=tile, skip_stride=skip_stride,
-                                progress_callback=progress_callback)
+                                progress_callback=progress_callback,
+                                stats=stats)
         if progress_callback is not None:
             progress_callback(1.0)
 

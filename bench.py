@@ -10,6 +10,17 @@ binary cannot be built here (vendored submodules stripped), so the native
 engine is the good-faith stand-in for "CPU bcd_cli" (see BASELINE.md).
 
 Usage: python bench.py [--small] [--scales N] [--rebaseline]
+                       [--all] [--phases]
+
+``--all`` additionally measures the remaining BASELINE.json configs, one
+JSON line each:
+  config 1: monoscale (-s 1) 1080p
+  config 3: spike-prefilter pipeline (-p 1, 3-scale) 1080p
+  config 4: preset-driven 4K frame batch (renderfarm mode, batch_cli path)
+  config 5: raw2bcd streaming ingest (SamplesAccumulator, MSamples/s)
+  end-to-end: one timed EXR-in -> EXR-out run through bcd_tpu.cli
+``--phases`` prints the PhaseStats tree (per-phase times + the reference's
+DenoisingStatistics pixel counters) for one instrumented run to stderr.
 """
 
 from __future__ import annotations
@@ -101,6 +112,11 @@ def main() -> int:
     ap.add_argument("--tile", type=int, default=48)
     ap.add_argument("--rebaseline", action="store_true",
                     help="re-measure the CPU baseline even if cached")
+    ap.add_argument("--all", action="store_true",
+                    help="also measure BASELINE.json configs 1/3/4/5 and an "
+                         "end-to-end CLI run (one JSON line each)")
+    ap.add_argument("--phases", action="store_true",
+                    help="print a PhaseStats report for one run to stderr")
     args = ap.parse_args()
 
     height, width = (544, 960) if args.small else (1088, 1920)
@@ -171,7 +187,142 @@ def main() -> int:
         "vs_baseline": round(mpix_s / cpu_mpix_s, 3),
         "run_spread": round(spread, 3),
     }))
+
+    if args.phases:
+        from bcd_tpu.chrono import PhaseStats
+        from bcd_tpu.core.pipeline import denoise_pipeline
+        from bcd_tpu.params import (
+            MultiscaleDenoiserParameters, PipelineParameters,
+            PrefilteringParameters,
+        )
+
+        stats = PhaseStats()
+        pp = PipelineParameters(
+            prefiltering=PrefilteringParameters(perform_spike_removal=False),
+            denoiser=MultiscaleDenoiserParameters(
+                nb_of_scales=args.scales, monoscale=params),
+        )
+        denoise_pipeline(*dev_in, pp, tile=args.tile, stats=stats)
+        print("--- phase report (one instrumented run; per-phase syncs "
+              "add overhead vs the headline number) ---", file=sys.stderr)
+        print(stats.report(), file=sys.stderr)
+
+    if args.all:
+        run_extra_configs(height, width, params, args, dev_in, backend)
     return 0
+
+
+def run_extra_configs(height, width, params, args, dev_in, backend):
+    """BASELINE.json configs 1, 3, 4, 5 + an end-to-end CLI run."""
+    import jax.numpy as jnp
+
+    from bcd_tpu.core.multiscale import denoise_multiscale
+    from bcd_tpu.core.pipeline import denoise_pipeline
+    from bcd_tpu.params import (
+        MultiscaleDenoiserParameters, PipelineParameters,
+    )
+
+    def emit(metric, value, unit, extra=None):
+        line = {"metric": metric, "value": round(value, 3), "unit": unit}
+        if extra:
+            line.update(extra)
+        print(json.dumps(line))
+
+    mpix = height * width / 1e6
+
+    # --- config 1: monoscale (-s 1) ---------------------------------------
+    def run_mono():
+        out = denoise_multiscale(*dev_in, params, nb_of_scales=1,
+                                 tile=args.tile)
+        float(out[0, 0, 0])
+
+    t, spread = time_fn_guarded(run_mono, iters=3)
+    emit(f"{height}x{width} monoscale (-s 1) denoise on {backend}",
+         mpix / t, "MPix/s", {"run_spread": round(spread, 3)})
+
+    # --- config 3: spike prefilter + 3-scale (-p 1) -----------------------
+    pp = PipelineParameters(
+        denoiser=MultiscaleDenoiserParameters(
+            nb_of_scales=args.scales, monoscale=params),
+    )
+    assert pp.prefiltering.perform_spike_removal  # reference default -p 1
+
+    def run_prefilter():
+        denoise_pipeline(*dev_in, pp, tile=args.tile)  # np.asarray syncs
+
+    t, spread = time_fn_guarded(run_prefilter, iters=3)
+    emit(f"{height}x{width} spike-prefilter + {args.scales}-scale pipeline "
+         f"(-p 1) on {backend}",
+         mpix / t, "MPix/s", {"run_spread": round(spread, 3)})
+
+    # --- config 5: raw2bcd streaming ingest (MSamples/s) ------------------
+    from bcd_tpu.ops.accumulator import SamplesAccumulator
+    from bcd_tpu.params import HistogramParameters
+    from make_test_scene import render_clean, sample_noisy
+
+    ih, iw, spp = 512, 1024, 16
+    clean = render_clean(ih, iw)
+    samples = sample_noisy(clean, spp, 0)  # (H, W, spp, 3)
+
+    def run_ingest():
+        acc = SamplesAccumulator(ih, iw, HistogramParameters())
+        acc.add_samples(samples)
+        nb_img, _, _, _ = acc.extract_samples_statistics()
+        float(np.asarray(nb_img)[0, 0])
+
+    t, spread = time_fn_guarded(run_ingest, iters=3)
+    emit(f"raw2bcd streaming ingest ({ih}x{iw} @ {spp} spp) on {backend}",
+         ih * iw * spp / 1e6 / t, "MSamples/s",
+         {"run_spread": round(spread, 3)})
+
+    # --- config 4: preset-driven 4K frame batch (renderfarm mode) ---------
+    # two 4K frames driven exactly as batch_cli drives them: shared preset,
+    # per-frame stat trios, sequential device execution (BASELINE.json
+    # config 4; reference README renderfarm story). Uses in-memory arrays —
+    # the EXR round-trip is measured separately by the end-to-end line.
+    bh, bw = 2176, 3840  # 4K rounded to tile multiples, like the 1080p run
+    bcolor, bnb, bhisto, bcov = make_inputs(bh, bw, spp=2, seed=7)
+    bdev = [jnp.asarray(x) for x in (bcolor, bnb, bhisto, bcov)]
+    float(bdev[0][0, 0, 0])
+    n_frames = 2
+
+    def run_batch():
+        for _ in range(n_frames):
+            out = denoise_multiscale(*bdev, params,
+                                     nb_of_scales=args.scales,
+                                     tile=args.tile)
+            float(out[0, 0, 0])
+
+    t, spread = time_fn_guarded(run_batch, iters=1)
+    emit(f"4K preset frame batch ({n_frames}x {bh}x{bw}, "
+         f"{args.scales}-scale) on {backend}",
+         n_frames * bh * bw / 1e6 / t, "MPix/s",
+         {"run_spread": round(spread, 3)})
+
+    # --- end-to-end CLI run (EXR in -> EXR out) ----------------------------
+    import tempfile
+
+    from bcd_tpu.cli import launch
+    from bcd_tpu.io import image_io
+
+    with tempfile.TemporaryDirectory() as td:
+        color, nb, histo, cov = (np.asarray(a) for a in dev_in)
+        cpath = os.path.join(td, "scene.exr")
+        image_io.write_exr(color, cpath)
+        image_io.write_multi_channels_exr(
+            image_io.merge_histogram_and_nb_of_samples(histo, nb),
+            os.path.join(td, "scene_hist.exr"))
+        image_io.write_multi_channels_exr(
+            cov, os.path.join(td, "scene_cov.exr"))
+        opath = os.path.join(td, "out.exr")
+        t0 = time.perf_counter()
+        rc = launch(["-i", cpath, "-o", opath, "-s", str(args.scales),
+                     "-p", "0", "--tile", str(args.tile)])
+        t = time.perf_counter() - t0
+        assert rc == 0 and os.path.exists(opath)
+    emit(f"end-to-end CLI {height}x{width} {args.scales}-scale "
+         f"(EXR read -> denoise -> EXR write) on {backend}",
+         mpix / t, "MPix/s", {"wall_s": round(t, 2)})
 
 
 if __name__ == "__main__":
