@@ -153,11 +153,18 @@ def pm_halo(r: int, b: int) -> int:
 def pm_geometry(t: int, r: int, b: int):
     """Row geometry of the pm layout. Returns (h, tp, cb0, ncore, ch0,
     nchi): halo, padded tile side (= row stride), core-band start row and
-    length, chi-band start row and length. Flat index z = y*tp + x."""
+    length, chi-band start row and length. Flat index z = y*tp + x.
+
+    The chi band extends b rows BELOW the core (rows [h-r, h+t+b+r)): the
+    chi^2-mirror optimisation derives the distance maps of positive-dy
+    grid steps from the stored maps of negative-dy steps via
+    dist_o[z] = dist_{-o}[z + o], whose reads reach dy*tp + dx below the
+    core. The strict pm halo (h > b + r) keeps the extended band inside
+    the slab: h + t + b + r <= tp - 1."""
     assert t % 16 == 0, f"fused tile must be a multiple of 16, got {t}"
     h = pm_halo(r, b)
     tp = t + 2 * h
-    return h, tp, h * tp, t * tp, (h - r) * tp, (t + 2 * r) * tp
+    return h, tp, h * tp, t * tp, (h - r) * tp, (t + b + 2 * r) * tp
 
 
 def _aligned_win(ref, base8, nrows):
@@ -166,10 +173,17 @@ def _aligned_win(ref, base8, nrows):
     return ref[pl.ds(8 * base8, nrows + 16), :]
 
 
+# combined K1 source/accumulator channel map (one MXU dot per row block
+# accumulates ALL masked moments): [0:dtri] G (triangle-packed patch outer
+# products), [dtri:dtri+d] Pc, [dtri+d:dtri+d+6*npx] Pcov, [dtri+d+6*npx]
+# ones (-> n). 460 live channels for d=27, padded to 512 lanes.
+K1_SRC_CH = 512
+
+
 def _masks_moments2_kernel(thr_ref, histo_ref, nb_ref, color_ref,
-                           pixcov_ref, valid_ref, mask_ref, m2_ref, misc_ref,
-                           pc_s, pcov_s, g_s, m2acc_s, macc_s, novacc_s,
-                           nacc_s,
+                           pixcov_ref, valid_ref, band_ref,
+                           mask_ref, m2_ref, misc_ref,
+                           pc_s, gsrc_s, acc_s, dist_s, m13_s,
                            *, t, r, b):
     h, tp, cb0, ncore, ch0, nchi = pm_geometry(t, r, b)
     npix = tp * tp
@@ -181,96 +195,144 @@ def _masks_moments2_kernel(thr_ref, histo_ref, nb_ref, color_ref,
     dy = o - b
     qs = r * tp + r  # static patch-build reach
     nd = 2 * b + 1
+    blk = band_ref.shape[1]
 
     @pl.when(o == 0)
     def _build():
-        # patch stacks: Pc[z, 3*qi+c] = color[z + q_qi, c] (the reference's
+        # combined MXU source rows [G | Pc | Pcov | 1] (K1_SRC_CH map).
+        # Patch stacks: Pc[z, 3*qi+c] = color[z + q_qi, c] (the reference's
         # patch vector layout, DenoisingUnit.cpp:483-498); valid on
-        # [qs, npix-qs) which covers every row the correlations read
+        # [qs, npix-qs) which covers every row the correlations read.
+        # The ones column is safe on every row: the band weights (masks)
+        # are zero outside the core.
+        ci = jax.lax.broadcasted_iota(jnp.int32, (npix, K1_SRC_CH), 1)
+        gsrc_s[:] = jnp.where(ci == dtri + d + 6 * npatch, 1.0, 0.0)
         if "gbuild" not in _SKIP:
             pc_s[:] = jnp.zeros((npix, d), f32)
-            pcov_s[:] = jnp.zeros((npix, 6 * npatch), f32)
             for qi, q in enumerate(_patch_offsets(r, tp)):
                 pc_s[qs : npix - qs, 3 * qi : 3 * qi + 3] = (
                     color_ref[qs + q : npix - qs + q, :])
-                pcov_s[qs : npix - qs, 6 * qi : 6 * qi + 6] = (
+                gsrc_s[qs : npix - qs,
+                       dtri + d + 6 * qi : dtri + d + 6 * qi + 6] = (
                     pixcov_ref[qs + q : npix - qs + q, :])
+            gsrc_s[:, dtri : dtri + d] = pc_s[:]
             # patch outer products, upper triangle only (M2 is symmetric):
             # G[z, tri(k, j)] = Pc[z,k] * Pc[z,j], j >= k
             pc_all = pc_s[:]
             for k in range(d):
                 tb = int(tri_base[k])
-                g_s[:, tb : tb + d - k] = (
+                gsrc_s[:, tb : tb + d - k] = (
                     pc_all[:, k : k + 1] * pc_all[:, k:])
-        m2acc_s[:] = jnp.zeros((ncore, dtri), f32)
-        macc_s[:] = jnp.zeros((ncore, d), f32)
-        novacc_s[:] = jnp.zeros((ncore, 6 * npatch), f32)
-        nacc_s[:] = jnp.zeros((ncore, 1), f32)
+        acc_s[:] = jnp.zeros((ncore, K1_SRC_CH), f32)
 
     thr = thr_ref[0, 0]
 
-    # chi-band windows (8-aligned dynamic base; the strict halo guarantees
-    # (h-r-b)*tp - 8 >= 0) and core-band windows for moments/validity
-    q8c = (ch0 - 8) // 8 + dy * (tp // 8)
+    # core-band window for validity (8-aligned dynamic base)
     q8m = (cb0 - 8) // 8 + dy * (tp // 8)
-    hist_w = _aligned_win(histo_ref, q8c, nchi)
-    nb_w = _aligned_win(nb_ref, q8c, nchi)
     valid_w = _aligned_win(valid_ref, q8m, ncore)
-    g_w = _aligned_win(g_s, q8m, ncore)
-    pc_w = _aligned_win(pc_s, q8m, ncore)
-    pcov_w = _aligned_win(pcov_s, q8m, ncore)
-
-    hist_c = histo_ref[ch0 : ch0 + nchi, :]
-    nb_c = nb_ref[ch0 : ch0 + nchi, :]
     center_valid = valid_ref[cb0 : cb0 + ncore, 0:1]
+
+    next_rows = (t + b) * tp  # dist band rows [h, h+t+b), see pm_geometry
+    rows_pad = _align8(next_rows + 24)  # slot stride incl. window guard
 
     if "masks" in _SKIP:  # machinery bisect: constant masks, no distances
         mask13 = jnp.broadcast_to(center_valid, (ncore, nd))
     else:
-        # --- chi^2 per-pixel numerator / kept-bin count over the CHI band
-        # (core band +- patch_radius rows: centers outside the core never
-        # contribute, so the old full-npix sweep wasted ~(npix/nchi - 1)
-        # of the distance work) ------------------------------------------
-        num_cols = []
-        cnt_cols = []
-        int_cols = []
-        for dx in range(-b, b + 1):
-            s = 8 + dx  # static sub-slice start within the aligned window
-            int_cols.append(valid_w[s : s + ncore, 1:2])
-            if "chi2" in _SKIP:
-                num_cols.append(jnp.zeros((nchi, 1), f32))
-                cnt_cols.append(jnp.ones((nchi, 1), f32))
-                continue
-            hist_n = hist_w[s : s + nchi, :]
-            nb_n = nb_w[s : s + nchi, :]
-            hsum = hist_c + hist_n
-            keep = hsum > 1.0  # "TEMPORARY" bin gate, DenoisingUnit.cpp:379
-            diff = nb_n * hist_c - nb_c * hist_n
-            denom = jnp.where(keep, nb_c * nb_n * hsum, 1.0)
-            denom = jnp.where(denom == 0.0, 1.0, denom)
-            num_cols.append(jnp.sum(
-                jnp.where(keep, diff * diff / denom, 0.0), axis=1,
-                keepdims=True))
-            cnt_cols.append(jnp.sum(keep.astype(f32), axis=1, keepdims=True))
+        # --- chi^2 MIRROR: dist is symmetric, dist_o[z] = dist_{-o}[z+o]
+        # (DenoisingUnit.cpp's histogramPatchDistance is symmetric in its
+        # two pixels, and the (2r+1)^2 box commutes with the shift).
+        # Negative-dy grid steps run first, computing distances over the
+        # extended band and storing them in a VMEM slot; positive-dy steps
+        # (and the positive-dx half of dy = 0) DERIVE their distance maps
+        # by shifted reads of the mirrored slot instead of recomputing —
+        # 84 of 169 chi^2+box passes disappear. The round-2 version of
+        # this idea died on an HBM mask hand-off between two kernel
+        # phases; the VMEM dist store inside the one kernel is the cheap
+        # hand-off that makes it pay (DESIGN.md 7b "TRIED AND REVERTED").
 
-        # --- patch box sum for all dx at once (lane-batched); chi-band
-        # row r*tp + i + q is the patch pixel q of core-band center i ----
-        ncat = _pack_cols(num_cols + cnt_cols)  # (nchi, 2*nd)
-        if "box" in _SKIP:
-            boxed = ncat[r * tp : r * tp + ncore, :]
-        else:
-            padded = jnp.pad(ncat, ((qs, qs), (0, 0)))
-            boxed = jnp.zeros((ncore, 2 * nd), f32)
-            for q in _patch_offsets(r, tp):
-                boxed = boxed + padded[
-                    qs + r * tp + q : qs + r * tp + q + ncore, :]
-        num_box, cnt_box = boxed[:, :nd], boxed[:, nd:]
-        dist = jnp.where(cnt_box > 0.0, num_box / jnp.maximum(cnt_box, 1.0),
-                         jnp.inf)  # (ncore, nd)
+        def chi2_dist(dxs_sub):
+            """(next_rows, len(dxs_sub)) boxed distances for given dxs.
 
-        # --- similar-set masks, all dx lanes ------------------------------
+            Only called from the dy <= 0 branches: the chi-band windows
+            read rows [ch0 + dy*tp - 8, ch0 + dy*tp + nchi + 8), which
+            stay inside the slab exactly because dy <= 0 (the extended
+            band bottom h + t + b + r is < tp by the strict pm halo)."""
+            q8c = (ch0 - 8) // 8 + dy * (tp // 8)
+            hist_w = _aligned_win(histo_ref, q8c, nchi)
+            nb_w = _aligned_win(nb_ref, q8c, nchi)
+            hist_c = histo_ref[ch0 : ch0 + nchi, :]
+            nb_c = nb_ref[ch0 : ch0 + nchi, :]
+            ndc = len(dxs_sub)
+            num_cols = []
+            cnt_cols = []
+            for dx in dxs_sub:
+                s = 8 + dx  # static sub-slice start in the aligned window
+                if "chi2" in _SKIP:
+                    num_cols.append(jnp.zeros((nchi, 1), f32))
+                    cnt_cols.append(jnp.ones((nchi, 1), f32))
+                    continue
+                hist_n = hist_w[s : s + nchi, :]
+                nb_n = nb_w[s : s + nchi, :]
+                hsum = hist_c + hist_n
+                keep = hsum > 1.0  # "TEMPORARY" gate, DenoisingUnit.cpp:379
+                diff = nb_n * hist_c - nb_c * hist_n
+                denom = jnp.where(keep, nb_c * nb_n * hsum, 1.0)
+                denom = jnp.where(denom == 0.0, 1.0, denom)
+                num_cols.append(jnp.sum(
+                    jnp.where(keep, diff * diff / denom, 0.0), axis=1,
+                    keepdims=True))
+                cnt_cols.append(jnp.sum(keep.astype(f32), axis=1,
+                                        keepdims=True))
+            # patch box sum for all dx at once (lane-batched); chi-band
+            # row r*tp + i + q is the patch pixel q of band center i
+            ncat = _pack_cols(num_cols + cnt_cols)  # (nchi, 2*ndc)
+            if "box" in _SKIP:
+                boxed = ncat[r * tp : r * tp + next_rows, :]
+            else:
+                padded = jnp.pad(ncat, ((qs, qs), (0, 0)))
+                boxed = jnp.zeros((next_rows, 2 * ndc), f32)
+                for q in _patch_offsets(r, tp):
+                    boxed = boxed + padded[
+                        qs + r * tp + q : qs + r * tp + q + next_rows, :]
+            num_box, cnt_box = boxed[:, :ndc], boxed[:, ndc:]
+            return jnp.where(cnt_box > 0.0,
+                             num_box / jnp.maximum(cnt_box, 1.0),
+                             jnp.inf)  # (next_rows, ndc)
+
+        @pl.when(o < b)
+        def _compute_all():  # dy < 0: compute + store all 13 columns
+            dist = chi2_dist(list(range(-b, b + 1)))
+            dist_s[pl.ds(8 * (o * (rows_pad // 8)), next_rows), :] = dist
+            m13_s[:] = (dist[:ncore] <= thr).astype(f32)
+
+        @pl.when(o == b)
+        def _compute_half():  # dy = 0: compute dx <= 0, mirror dx > 0
+            dist = chi2_dist(list(range(-b, 1)))  # (next_rows, b+1)
+            base = b * rows_pad  # own slot, static
+            dist_s[base : base + next_rows, 0 : b + 1] = dist
+            cols = [dist[:ncore, dxi : dxi + 1] for dxi in range(b + 1)]
+            for dxi in range(b + 1, nd):
+                dx = dxi - b
+                # dist_(0,dx)[z] = dist_(0,-dx)[z + dx]: static shifted read
+                cols.append(dist_s[base + dx : base + dx + ncore,
+                                   nd - 1 - dxi : nd - dxi])
+            m13_s[:] = (_pack_cols(cols) <= thr).astype(f32)
+
+        @pl.when(o > b)
+        def _derive():  # dy > 0: mirror slot 2b - o, shift dy*tp + dx
+            slot = 2 * b - o
+            q8 = slot * (rows_pad // 8) + dy * (tp // 8) - 1
+            win = _aligned_win(dist_s, q8, ncore)  # (ncore + 16, nd)
+            cols = [win[8 + (dxi - b) : 8 + (dxi - b) + ncore,
+                        nd - 1 - dxi : nd - dxi]
+                    for dxi in range(nd)]
+            m13_s[:] = (_pack_cols(cols) <= thr).astype(f32)
+
+        # --- gates, all dx lanes (every step) ------------------------------
+        int_cols = [valid_w[8 + dx : 8 + dx + ncore, 1:2]
+                    for dx in range(-b, b + 1)]
         interior_n = _pack_cols(int_cols)  # (ncore, nd)
-        mask13 = (dist <= thr).astype(f32) * interior_n * center_valid
+        mask13 = m13_s[:] * interior_n * center_valid
         # the self offset is always selected for valid centers (its
         # distance is identically 0 but can be 0/0 -> inf when every bin
         # is gated)
@@ -282,32 +344,29 @@ def _masks_moments2_kernel(thr_ref, histo_ref, nb_ref, color_ref,
     mask_ref[cb0 + ncore :, :] = jnp.zeros((npix - cb0 - ncore, nd), f32)
     mask_ref[cb0 : cb0 + ncore, :] = mask13
 
-    # --- masked moment accumulation (shifted lane-wide FMAs) --------------
-    # dx contributions are summed as fused expressions so the big
-    # (ncore, dtri) accumulator is read+written once per CHUNK of dx
-    # instead of once per dx (chunking caps the live value the register
-    # allocator carries; a full 13-term chain spills vregs at tile>=48)
-    dxs = list(range(-b, b + 1))
+    # --- masked moment accumulation as banded MXU dots --------------------
+    # For one flat row block of the core band, sum_dx mask[z, dxi] *
+    # src[z + o] is B @ S with B[x, xs] = band(xs - x == dx) * mask13[x,
+    # dxi] — mask is indexed at the OUTPUT row (center), so B needs no
+    # transpose — and S the source row block of [G | Pc | Pcov | 1].
+    # 0/1 mask weights make the HIGHEST dot a selection-sum (exact per
+    # term, fp32 accumulation); n rides the ones column and stays an
+    # exact small integer. Cross-image-row terms are dropped by the band
+    # masks' same-row condition exactly where the old shifted-FMA form
+    # multiplied them by a zero mask (non-core centers).
     if "m2" not in _SKIP:
-        for c0 in range(0, len(dxs), _DX_CHUNK):
-            m2c = None
-            for dxi in range(c0, min(c0 + _DX_CHUNK, len(dxs))):
-                s = 8 + dxs[dxi]
-                tt = mask13[:, dxi : dxi + 1] * g_w[s : s + ncore, :]
-                m2c = tt if m2c is None else m2c + tt
-            m2acc_s[:] = m2acc_s[:] + m2c
-    if "small" not in _SKIP:
-        mc = novc = None
-        for dxi, dx in enumerate(dxs):
-            s = 8 + dx
-            mask = mask13[:, dxi : dxi + 1]
-            tt = mask * pc_w[s : s + ncore, :]
-            mc = tt if mc is None else mc + tt
-            tt = mask * pcov_w[s : s + ncore, :]
-            novc = tt if novc is None else novc + tt
-        macc_s[:] = macc_s[:] + mc
-        novacc_s[:] = novacc_s[:] + novc
-    nacc_s[:] += jnp.sum(mask13, axis=1, keepdims=True)
+        for blk0 in range(0, ncore, blk):
+            m13blk = mask13[blk0 : blk0 + blk]  # (blk, nd)
+            bmat = band_ref[0] * m13blk[:, 0:1]
+            for dxi in range(1, nd):
+                bmat = bmat + band_ref[dxi] * m13blk[:, dxi : dxi + 1]
+            base = cb0 + blk0 + dy * tp  # multiple of 8 (all terms)
+            contrib = jax.lax.dot_general(
+                bmat, gsrc_s[pl.ds(base, blk)],
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=f32)
+            acc_s[blk0 : blk0 + blk] = acc_s[blk0 : blk0 + blk] + contrib
 
     @pl.when(o == 2 * b)
     def _emit():
@@ -318,12 +377,14 @@ def _masks_moments2_kernel(thr_ref, histo_ref, nb_ref, color_ref,
         for y in range(t):
             src = y * tp + h
             dst = y * t
-            m2_ref[dst : dst + t, :] = m2acc_s[src : src + t, :]
-            misc_ref[dst : dst + t, 0:d] = macc_s[src : src + t, :]
+            m2_ref[dst : dst + t, :] = acc_s[src : src + t, 0:dtri]
+            misc_ref[dst : dst + t, 0:d] = (
+                acc_s[src : src + t, dtri : dtri + d])
             misc_ref[dst : dst + t, d : d + 6 * npatch] = (
-                novacc_s[src : src + t, :])
+                acc_s[src : src + t, dtri + d : dtri + d + 6 * npatch])
             misc_ref[dst : dst + t, d + 6 * npatch : d + 6 * npatch + 1] = (
-                nacc_s[src : src + t, :])
+                acc_s[src : src + t,
+                      dtri + d + 6 * npatch : dtri + d + 6 * npatch + 1])
             misc_ref[dst : dst + t, d + 6 * npatch + 1 :
                      d + 6 * npatch + 2] = (
                 valid_ref[cb0 + src : cb0 + src + t, 0:1])
@@ -367,6 +428,9 @@ def masks_moments2(histo_f, nb_f, color_f, pixcov_f, valid_f,
     const = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda o: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
 
+    band = band_masks(tp, b, ncore, sign=-1)
+    blk = band.shape[1]
+
     masks, m2, misc = pl.pallas_call(
         kernel,
         grid=(nd,),
@@ -377,6 +441,7 @@ def masks_moments2(histo_f, nb_f, color_f, pixcov_f, valid_f,
             const((npix, 3)),
             const((npix, 6)),
             const((npix, 2)),
+            const((nd, blk, blk)),
         ],
         out_specs=[
             pl.BlockSpec((npix, nd), lambda o: (o, 0),
@@ -393,18 +458,17 @@ def masks_moments2(histo_f, nb_f, color_f, pixcov_f, valid_f,
         ],
         scratch_shapes=[
             pltpu.VMEM((npix, d), jnp.float32),             # pc_s
-            pltpu.VMEM((npix, 6 * npatch), jnp.float32),    # pcov_s
-            pltpu.VMEM((npix, dtri), jnp.float32),          # g_s
-            pltpu.VMEM((ncore, dtri), jnp.float32),         # m2acc_s
-            pltpu.VMEM((ncore, d), jnp.float32),            # macc_s
-            pltpu.VMEM((ncore, 6 * npatch), jnp.float32),   # novacc_s
-            pltpu.VMEM((ncore, 1), jnp.float32),            # nacc_s
+            pltpu.VMEM((npix, K1_SRC_CH), jnp.float32),     # gsrc_s
+            pltpu.VMEM((ncore, K1_SRC_CH), jnp.float32),    # acc_s
+            pltpu.VMEM(((b + 1) * _align8((t + b) * tp + 24), nd),
+                       jnp.float32),                        # dist_s
+            pltpu.VMEM((ncore, nd), jnp.float32),           # m13_s
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(threshold, jnp.float32).reshape(1, 1),
-      histo_f, nb_f, color_f, pixcov_f, valid_f)
+      histo_f, nb_f, color_f, pixcov_f, valid_f, jnp.asarray(band))
     return masks.reshape(nd, npix, nd), m2, misc
 
 
@@ -422,11 +486,36 @@ def k4_geometry(t: int, r: int, b: int):
     return ca0, ncand, p0
 
 
+# combined K4 source/output channel map (one MXU dot per row block
+# accumulates ALL of WA / wb / cnt): [0:d*d] A2^T k-major, [d*d:d*d+d] b2,
+# [d*d+d] ones (-> cnt). 757 live channels for d=27, padded to 768 lanes.
+K4_SRC_CH = 768
+
+
+def band_masks(tp: int, b: int, nrows: int, sign: int) -> np.ndarray:
+    """Static 0/1 band selectors for the banded-MXU accumulates:
+    band[dxi][x, xs] = 1 iff sign*(x - xs) = dx within the SAME image row
+    (|dx| <= b < tp, so a flat row block of blk rows never mixes rows;
+    cross-row terms carry zero mask weight in the shifted-FMA form and
+    are simply dropped here — identical sums). sign=+1 is K4's source
+    indexing (xs = x - dx), sign=-1 is K1's (xs = x + dx). Returns
+    (2b+1, blk, blk) float32 with blk = 128 when 128 is a whole number
+    of tp-rows dividing nrows, else tp (one image row)."""
+    blk = 128 if (128 % tp == 0 and nrows % 128 == 0) else tp
+    assert nrows % blk == 0, (nrows, blk)
+    ri, ci = np.meshgrid(np.arange(blk), np.arange(blk), indexing="ij")
+    same_row = (ri // tp) == (ci // tp)
+    out = np.stack(
+        [(sign * (ri - ci) == dx) & same_row for dx in range(-b, b + 1)]
+    ).astype(np.float32)
+    return out
+
+
 def _apply_scatter2_kernel(masks_ref, a2t_ref, small_ref, color_ref,
-                           out_ref,
-                           a2f_s, smf_s, mpad_s, wa_s, wb_s, cnt_s,
+                           band_ref, out_ref,
+                           src_s, smf_s, wg_s, acc_s,
                            *, t, r, b):
-    from bcd_tpu.ops.solve_filter_pallas import SMALL_CH
+    from bcd_tpu.ops.solve_filter_pallas import SMALL_CH, _mxu_t
 
     h, tp, cb0, ncore, _, _ = pm_geometry(t, r, b)
     ca0, ncand, p0 = k4_geometry(t, r, b)
@@ -438,25 +527,31 @@ def _apply_scatter2_kernel(masks_ref, a2t_ref, small_ref, color_ref,
     nd = 2 * b + 1
     qs = r * tp + r
     qs_a = _align8(qs)
+    blk = band_ref.shape[1]  # row block of the banded dots (see
+    #                          k4_band_masks); ncand % blk == 0
 
     @pl.when(o == 0)
     def _init():
         # re-expand K2's compact pixel-major maps onto the PADDED flat row
         # grid (the inverse of K1's emit repack; same aligned t-copy
-        # structure). The zero fill keeps 0 * garbage out of the windowed
-        # reads and stands in for the out-of-tile rows the windows reach.
-        a2f_s[:] = jnp.zeros((srows, d * d), f32)
+        # structure), building the combined MXU source rows
+        # [A2^T | b2 | 1] (K4_SRC_CH map). The zero fill keeps 0 * garbage
+        # out of the windowed reads and stands in for the out-of-tile rows
+        # the windows reach; the ones column is harmless there because the
+        # band weights w are identically zero outside the core.
         smf_s[:] = jnp.zeros((srows, SMALL_CH), f32)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (srows, K4_SRC_CH), 1)
+        src_s[:] = jnp.where(ci == d * d + d, 1.0, 0.0)
         for y in range(t):
             src = y * t
             dst = p0 + cb0 + y * tp + h
-            a2f_s[dst : dst + t, :] = a2t_ref[src : src + t, :]
+            src_s[dst : dst + t, 0 : d * d] = a2t_ref[src : src + t, :]
+            src_s[dst : dst + t, d * d : d * d + d] = (
+                small_ref[src : src + t, 0:d])
             smf_s[dst : dst + t, :] = small_ref[src : src + t, :]
-        mpad_s[0:p0, :] = jnp.zeros((p0, nd), f32)
-        mpad_s[p0 + npix :, :] = jnp.zeros((p0, nd), f32)
-        wa_s[:] = jnp.zeros((ncand, d * d), f32)
-        wb_s[:] = jnp.zeros((ncand, d), f32)
-        cnt_s[:] = jnp.zeros((ncand, 1), f32)
+        wg_s[0:p0, :] = jnp.zeros((p0, nd), f32)
+        wg_s[p0 + npix :, :] = jnp.zeros((p0, nd), f32)
+        acc_s[:] = jnp.zeros((ncand, K4_SRC_CH), f32)
 
     # the grid has nd+1 steps: steps [0, nd) accumulate, step nd emits.
     # Emitting in its OWN step keeps the accumulate windows out of the
@@ -465,47 +560,45 @@ def _apply_scatter2_kernel(masks_ref, a2t_ref, small_ref, color_ref,
     @pl.when(o < nd)
     def _accumulate():
         dy = o - b
-        # WA^T[z] += mask[z-o, o] * gate[z-o] * A2^T[z-o] for z in the
-        # candidate band: shifts are NEGATED relative to K1. a2t rows pack
-        # A2 TRANSPOSED k-major, so the contraction against the patch
-        # stack in _emit is per-k contiguous.
-        mpad_s[p0 : p0 + npix, :] = masks_ref[:]  # this dy's mask block
-        q8 = (p0 + ca0 - 8) // 8 - dy * (tp // 8)
-        a2_w = _aligned_win(a2f_s, q8, ncand)
-        sm_w = _aligned_win(smf_s, q8, ncand)
-        mask_w = _aligned_win(mpad_s, q8, ncand)  # (ncand+16, 2b+1)
+        # Banded correlation as MXU dots (the round-3 K4 redesign):
+        # WA[z] = sum_dx w[z-o] A2^T[z-o] restricted to one flat row block
+        # is B @ S with B[x, xs] = w[rowbase + xs, dxi(x - xs)] — a 0/1
+        # band matrix — and S the source row block. 0/1 weights make the
+        # HIGHEST-precision dot a selection-sum (exact per term, fp32
+        # accumulation; same argument as the in-kernel transposes,
+        # scripts/probe_transpose.py). wb and cnt ride along as extra
+        # source columns (K4_SRC_CH map), so one dot per block accumulates
+        # everything the emit step needs.
         if "k4acc" in _SKIP:
             return
-        dxs = list(range(-b, b + 1))
-        ws = {}
-        wbc = cc = None
-        for dxi, dx in enumerate(dxs):
-            s = 8 - dx  # negated static remainder
-            w = (mask_w[s : s + ncand, dxi : dxi + 1]
-                 * sm_w[s : s + ncand, d : d + 1])  # mask * gate
-            ws[dxi] = (s, w)
-            tb = w * sm_w[s : s + ncand, 0:d]  # w * b2
-            wbc = tb if wbc is None else wbc + tb
-            cc = w if cc is None else cc + w
-        wb_s[:] = wb_s[:] + wbc
-        cnt_s[:] = cnt_s[:] + cc
-        # fused _DX_CHUNK-term expressions per grid step (see the K1 note)
-        for c0 in range(0, len(dxs), _DX_CHUNK):
-            wac = None
-            for dxi in range(c0, min(c0 + _DX_CHUNK, len(dxs))):
-                s, w = ws[dxi]
-                ta = w * a2_w[s : s + ncand, :]
-                wac = ta if wac is None else wac + ta
-            wa_s[:] = wa_s[:] + wac
+        # w = mask * gate at SOURCE rows, on the padded row grid (the
+        # main-path gate is smf column d, solve_filter_pallas.SMALL_CH map)
+        wg_s[p0 : p0 + npix, :] = (
+            masks_ref[:] * smf_s[p0 : p0 + npix, d : d + 1])
+        for blk0 in range(0, ncand, blk):
+            # source rows for output rows [ca0 + blk0, +blk): z - dy*tp
+            base = p0 + ca0 + blk0 - dy * tp  # multiple of 8 (all terms)
+            wgT = _mxu_t(wg_s[pl.ds(base, blk)])  # (nd, blk)
+            bmat = band_ref[0] * wgT[0:1]
+            for dxi in range(1, nd):
+                bmat = bmat + band_ref[dxi] * wgT[dxi : dxi + 1]
+            contrib = jax.lax.dot_general(
+                bmat, src_s[pl.ds(base, blk)],
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=f32)
+            acc_s[blk0 : blk0 + blk] = acc_s[blk0 : blk0 + blk] + contrib
 
     @pl.when(o == nd)
     def _emit():
         # candidate-center field F[z] = WA[z] c-patch[z] + wb[z] + fb-mean;
         # fallback pixels deposit their mean patch at z = p only
         # (DenoisingUnit.cpp:455-481); smf carries [b2, gate, fb*m, fb]
-        f = wb_s[:] + smf_s[p0 + ca0 : p0 + ca0 + ncand, d + 1 : 2 * d + 1]
-        cnt2 = cnt_s[:] + smf_s[p0 + ca0 : p0 + ca0 + ncand,
-                                2 * d + 1 : 2 * d + 2]
+        f = (acc_s[:, d * d : d * d + d]
+             + smf_s[p0 + ca0 : p0 + ca0 + ncand, d + 1 : 2 * d + 1])
+        cnt2 = (acc_s[:, d * d + d : d * d + d + 1]
+                + smf_s[p0 + ca0 : p0 + ca0 + ncand,
+                        2 * d + 1 : 2 * d + 2])
         # F[:, j] += c-patch[:, k] * WA^T[:, k*d + j] for all j at once
         # (c-patch[z, k] = color[z + q_k], read as shifted color columns —
         # the candidate band's patch reach stays inside the unpadded slab;
@@ -516,7 +609,7 @@ def _apply_scatter2_kernel(masks_ref, a2t_ref, small_ref, color_ref,
                 for c in range(3):
                     k = 3 * qi + c
                     ck = color_ref[ca0 + q : ca0 + q + ncand, c : c + 1]
-                    f = f + ck * wa_s[:, k * d : (k + 1) * d]
+                    f = f + ck * acc_s[:, k * d : (k + 1) * d]
         # aggregate: pixel y receives component group q of the candidate
         # field at y - q (Denoiser.cpp:434-470 semantics, one pass). The
         # output band [ca0 - qs_a, ca0 + ncand + qs_a) is 8-aligned on
@@ -565,6 +658,9 @@ def apply_scatter2(masks, a2t_pm, small_pm, color_f,
     const = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda o: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
 
+    band = band_masks(tp, b, ncand, sign=+1)
+    blk = band.shape[1]
+
     out = pl.pallas_call(
         kernel,
         grid=(nd + 1,),  # steps [0, nd) accumulate; step nd emits
@@ -575,20 +671,20 @@ def apply_scatter2(masks, a2t_pm, small_pm, color_f,
             const((t * t, d * d)),
             const((t * t, SMALL_CH)),
             const((npix, 3)),
+            const((nd, blk, blk)),
         ],
         out_specs=pl.BlockSpec((npix, 4), lambda o: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((npix, 4), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((srows, d * d), jnp.float32),     # a2f_s
-            pltpu.VMEM((srows, SMALL_CH), jnp.float32),  # smf_s
-            pltpu.VMEM((srows, nd), jnp.float32),        # mpad_s
-            pltpu.VMEM((ncand, d * d), jnp.float32),     # wa_s
-            pltpu.VMEM((ncand, d), jnp.float32),         # wb_s
-            pltpu.VMEM((ncand, 1), jnp.float32),         # cnt_s
+            pltpu.VMEM((srows, K4_SRC_CH), jnp.float32),  # src_s
+            pltpu.VMEM((srows, SMALL_CH), jnp.float32),   # smf_s
+            pltpu.VMEM((srows, nd), jnp.float32),         # wg_s
+            pltpu.VMEM((ncand, K4_SRC_CH), jnp.float32),  # acc_s
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(masks.reshape(nd * npix, nd), a2t_pm, small_pm, color_f)
+    )(masks.reshape(nd * npix, nd), a2t_pm, small_pm, color_f,
+      jnp.asarray(band))
     return out

@@ -642,6 +642,13 @@ def _solve_matrices_pm_kernel(expand_ref, m2_ref, misc_ref, eps_ref,
     f32 = jnp.float32
     eps = eps_ref[0, 0]
 
+    from bcd_tpu.ops.fused_pallas import _SKIP
+
+    if "k2solve" in _SKIP:  # e2e bisect: pass-through identity filter
+        a2t_ref[:] = jnp.zeros_like(a2t_ref)
+        small_ref[:] = jnp.zeros_like(small_ref)
+        return
+
     # --- MXU marshal in: transpose + triangle expansion in one dot -------
     # expanded[i, p] = m2_pm[p, tri[i]] = sum_k E[i, k] m2_pm[p, k]
     m2_t = jax.lax.dot_general(

@@ -7,7 +7,11 @@ toggle, so run one skip-set per invocation:
     BCD_FUSED_SKIP=m2,small python scripts/bisect_fused.py k1
     BCD_FUSED_SKIP=k4acc python scripts/bisect_fused.py k4
 
-Toggles: gbuild chi2 box masks m2 small (K1); k4acc k4fil (K4).
+Toggles: gbuild chi2 box masks m2 (K1 — since the banded-MXU rewrite,
+"m2" skips the ONE combined moment dot incl. msum/nov/n and "small" is a
+no-op); k2solve (K2); k4acc k4fil (K4). scripts/bisect_e2e.py applies the
+same toggles to the real engine end-to-end — trust that one for e2e
+decisions (the standalone numbers here include harness inflation).
 """
 
 import os
