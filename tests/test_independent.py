@@ -69,6 +69,33 @@ def test_engine_matches_upstream_cpp(ref_exe, scales, size):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("kwargs", [
+    dict(patch_radius=2),               # 75-dim patches, XLA engine path
+    dict(search_window_radius=3),       # smaller window
+    dict(histogram_distance_threshold=0.5),  # stricter similar sets
+    dict(min_eigen_value=1e-4),         # the reference's commented default
+])
+def test_parameter_variants_match_upstream_cpp(ref_exe, kwargs):
+    """Non-default parameter surfaces against the upstream C++ — pins the
+    -w/-b/-d/-e flag semantics, not just the default configuration."""
+    from independent_check import run_reference
+    from bcd_tpu.core.multiscale import denoise_multiscale
+    from bcd_tpu.params import DenoiserParameters
+
+    color, nb, histo, cov = _scene(48, 64, spp=8, seed=7)
+    params = DenoiserParameters(**kwargs)
+
+    ref = run_reference(ref_exe, color, nb, histo, cov, params, scales=1)
+    ours = np.asarray(
+        denoise_multiscale(color, nb, histo, cov, params,
+                           nb_of_scales=1, tile=32)
+    )
+    scale = float(np.sqrt(np.mean(ref ** 2)) + 1e-12)
+    rms = float(np.sqrt(np.mean((ref - ours) ** 2))) / scale
+    assert rms < 2e-4, f"{kwargs}: diverges from upstream C++ ({rms:.3e})"
+
+
+@pytest.mark.slow
 def test_accumulator_feeds_upstream_identically(ref_exe):
     """The statistics arrays our SamplesAccumulator produces are accepted
     verbatim by the upstream core (layout + conventions match): covered by
