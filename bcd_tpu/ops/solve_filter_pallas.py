@@ -107,6 +107,21 @@ def _jacobi_clamp_psd(x, d, dp, sweeps, vt_s, lam_s):
     aqq' = aqq + t apq) for the rotation angles; the final eigenvalues
     are read back exactly as lam_k = <W[k,:], Q[k,:]>.
 
+    FAST-GIVENS (square-root-free) rotations: the loop actually stores
+    SCALED rows, true row k = f_k * stored row k, with the same scale
+    vector f for W and Q (both rotate identically). One rotation is then
+    a single FMA per element per matrix — top' = top + alpha * bot,
+    bot' = beta * top + bot with alpha = -s f_q / (c f_p),
+    beta = s f_p / (c f_q) — instead of the plain form's two multiplies
+    plus add (2x the vector FLOPs; this loop is the VPU-bound core of
+    K2). Scales update analytically (f_p' = c f_p, f_q' = c f_q) and the
+    rows are RENORMALIZED at every sweep boundary, which bounds
+    f >= (1/sqrt(2))^(dp-1) ~ 9e-5 between renorms — comfortably inside
+    fp32. Validated on golden-scene and adversarial moments: the
+    filtered-candidate rms vs float64 truth is IDENTICAL to the plain
+    rotation at every sweep count (the rotations are algebraically the
+    same; only the rounding pattern differs).
+
     The Brent-Luk re-seating [0, h, 1..h-2, h+1..2h-1, h-1] is FUSED into
     the rotation concats (axis-0 = full vreg planes, no shuffles)."""
     P = x.shape[-1]
@@ -119,17 +134,26 @@ def _jacobi_clamp_psd(x, d, dp, sweeps, vt_s, lam_s):
     w0 = jnp.pad(x, ((0, dp - d), (0, dp - d), (0, 0)))  # W = Q A, Q = I
     q0 = jnp.broadcast_to(eye3p, (dp, dp, P))
     d0 = jnp.sum(w0 * eye3p, axis=1)  # (dp, P)
+    f0 = jnp.ones((dp, P), f32)  # row scales (shared by W and Q)
 
     # permute0 row sources, expressed per rotated-half: rotated row i < half
-    # is U[i] (= c*top - s*bot), rotated row half+i is D[i]; the re-seating
-    # is then 5 static slices.
+    # is U[i] (= top + alpha*bot), rotated row half+i is D[i]; the
+    # re-seating is then 5 static slices.
     up_dn = [("u", 0, 1), ("d", 0, 1), ("u", 1, half - 1),
              ("d", 1, half), ("u", half - 1, half)]
 
+    def reseat2(top_rows, bot_rows):
+        return jnp.concatenate(
+            [top_rows[0:1], bot_rows[0:1], top_rows[1 : half - 1],
+             bot_rows[1:half], top_rows[half - 1 : half]], axis=0)
+
     def jacobi_round(_, carry):
-        w, q, dall = carry
-        # apq[i] = (Q A Q^T)[i, i+half] = sum_j W[i, j] Q[i+half, j]
-        apq = jnp.sum(w[:half] * q[half:], axis=1)  # (half, P)
+        w, q, dall, f = carry
+        # true apq[i] = (Q A Q^T)[i, i+half]
+        #             = f_i f_{i+half} sum_j W~[i, j] Q~[i+half, j]
+        s_t = jnp.sum(w[:half] * q[half:], axis=1)  # (half, P) scaled
+        fp, fq = f[:half], f[half:]
+        apq = s_t * (fp * fq)
         app, aqq = dall[:half], dall[half:]
         small = jnp.abs(apq) < 1e-30
         denom = jnp.where(small, 1.0, 2.0 * apq)
@@ -139,31 +163,40 @@ def _jacobi_clamp_psd(x, d, dp, sweeps, vt_s, lam_s):
         t = jnp.where(small, 0.0, t)
         c = _rsqrt_exact(1.0 + t * t)  # (half, P)
         s = t * c
+        inv_cf = 1.0 / (c * fp * fq)
+        alpha = jnp.where(small, 0.0, -s * fq * fq * inv_cf)  # -s fq/(c fp)
+        beta = jnp.where(small, 0.0, s * fp * fp * inv_cf)  # s fp/(c fq)
 
         def rot_perm0(y):
             top, bot = y[:half], y[half:]
-            cn, sn = c[:, None, :], s[:, None, :]
+            an, bn = alpha[:, None, :], beta[:, None, :]
             pieces = []
             for kind, p0, p1 in up_dn:
                 if kind == "u":
-                    pieces.append(cn[p0:p1] * top[p0:p1]
-                                  - sn[p0:p1] * bot[p0:p1])
+                    pieces.append(top[p0:p1] + an[p0:p1] * bot[p0:p1])
                 else:
-                    pieces.append(sn[p0:p1] * top[p0:p1]
-                                  + cn[p0:p1] * bot[p0:p1])
+                    pieces.append(bn[p0:p1] * top[p0:p1] + bot[p0:p1])
             return jnp.concatenate(pieces, axis=0)
 
         w = rot_perm0(w)
         q = rot_perm0(q)
+        f = reseat2(c * fp, c * fq)
         app2 = app - t * apq
         aqq2 = aqq + t * apq
-        dall = jnp.concatenate(
-            [app2[0:1], aqq2[0:1], app2[1 : half - 1], aqq2[1:half],
-             app2[half - 1 : half]], axis=0)
-        return w, q, dall
+        dall = reseat2(app2, aqq2)
+        return w, q, dall, f
 
-    w_fin, q_fin, _ = jax.lax.fori_loop(
-        0, sweeps * (dp - 1), jacobi_round, (w0, q0, d0))
+    def jacobi_sweep(_, carry):
+        w, q, dall, f = jax.lax.fori_loop(
+            0, dp - 1, jacobi_round, carry)
+        # renormalize: fold the scales back into the rows so f stays in
+        # fp32 range across sweeps (2 plane-scalings per sweep — noise
+        # next to the (dp-1) rotation rounds they guard)
+        fcol = f[:, None, :]
+        return w * fcol, q * fcol, dall, jnp.ones((dp, P), f32)
+
+    w_fin, q_fin, _, _ = jax.lax.fori_loop(
+        0, sweeps, jacobi_sweep, (w0, q0, d0, f0))
     vt_s[:] = q_fin
     # exact final eigenvalues: lam_k = (Q A Q^T)[k, k] = <W[k,:], Q[k,:]>
     lam_s[:] = jnp.maximum(jnp.sum(w_fin * q_fin, axis=1), 0.0)  # (dp, P)
