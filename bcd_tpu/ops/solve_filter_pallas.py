@@ -122,17 +122,27 @@ def _jacobi_clamp_psd(x, d, dp, sweeps, vt_s, lam_s):
     rotation at every sweep count (the rotations are algebraically the
     same; only the rounding pattern differs).
 
+    W and Q are FUSED into one (dp, 2*dpad, P) array Y (W in sublane
+    columns [0, dpad), Q in [dpad, 2*dpad), dpad = align8(dp)): the two
+    matrices rotate with identical coefficients, so one plane op per
+    re-seating piece rotates both — half the instruction streams and one
+    concat per round instead of two. The pad columns are zero and stay
+    zero (rotations are row-linear), so the inner products can run over
+    the full aligned widths.
+
     The Brent-Luk re-seating [0, h, 1..h-2, h+1..2h-1, h-1] is FUSED into
     the rotation concats (axis-0 = full vreg planes, no shuffles)."""
     P = x.shape[-1]
     f32 = jnp.float32
     half = dp // 2
-    ri3p = jax.lax.broadcasted_iota(jnp.int32, (dp, dp, 1), 0)
-    ci3p = jax.lax.broadcasted_iota(jnp.int32, (dp, dp, 1), 1)
+    dpad = -(-dp // 8) * 8
+    ri3p = jax.lax.broadcasted_iota(jnp.int32, (dp, dpad, 1), 0)
+    ci3p = jax.lax.broadcasted_iota(jnp.int32, (dp, dpad, 1), 1)
     eye3p = (ri3p == ci3p).astype(f32)
 
-    w0 = jnp.pad(x, ((0, dp - d), (0, dp - d), (0, 0)))  # W = Q A, Q = I
-    q0 = jnp.broadcast_to(eye3p, (dp, dp, P))
+    w0 = jnp.pad(x, ((0, dp - d), (0, dpad - d), (0, 0)))  # W = Q A
+    q0 = jnp.broadcast_to(eye3p, (dp, dpad, P))  # Q = I
+    y0 = jnp.concatenate([w0, q0], axis=1)  # (dp, 2*dpad, P)
     d0 = jnp.sum(w0 * eye3p, axis=1)  # (dp, P)
     f0 = jnp.ones((dp, P), f32)  # row scales (shared by W and Q)
 
@@ -148,10 +158,12 @@ def _jacobi_clamp_psd(x, d, dp, sweeps, vt_s, lam_s):
              bot_rows[1:half], top_rows[half - 1 : half]], axis=0)
 
     def jacobi_round(_, carry):
-        w, q, dall, f = carry
+        y, dall, f = carry
         # true apq[i] = (Q A Q^T)[i, i+half]
         #             = f_i f_{i+half} sum_j W~[i, j] Q~[i+half, j]
-        s_t = jnp.sum(w[:half] * q[half:], axis=1)  # (half, P) scaled
+        # (pad columns are zero in both halves, so full-width sums are
+        # exact)
+        s_t = jnp.sum(y[:half, :dpad] * y[half:, dpad:], axis=1)  # (half, P)
         fp, fq = f[:half], f[half:]
         apq = s_t * (fp * fq)
         app, aqq = dall[:half], dall[half:]
@@ -178,28 +190,27 @@ def _jacobi_clamp_psd(x, d, dp, sweeps, vt_s, lam_s):
                     pieces.append(bn[p0:p1] * top[p0:p1] + bot[p0:p1])
             return jnp.concatenate(pieces, axis=0)
 
-        w = rot_perm0(w)
-        q = rot_perm0(q)
+        y = rot_perm0(y)  # rotates W and Q in one pass
         f = reseat2(c * fp, c * fq)
         app2 = app - t * apq
         aqq2 = aqq + t * apq
         dall = reseat2(app2, aqq2)
-        return w, q, dall, f
+        return y, dall, f
 
     def jacobi_sweep(_, carry):
-        w, q, dall, f = jax.lax.fori_loop(
+        y, dall, f = jax.lax.fori_loop(
             0, dp - 1, jacobi_round, carry)
         # renormalize: fold the scales back into the rows so f stays in
-        # fp32 range across sweeps (2 plane-scalings per sweep — noise
-        # next to the (dp-1) rotation rounds they guard)
-        fcol = f[:, None, :]
-        return w * fcol, q * fcol, dall, jnp.ones((dp, P), f32)
+        # fp32 range across sweeps (one plane-scaling per sweep — noise
+        # next to the (dp-1) rotation rounds it guards)
+        return y * f[:, None, :], dall, jnp.ones((dp, P), f32)
 
-    w_fin, q_fin, _, _ = jax.lax.fori_loop(
-        0, sweeps, jacobi_sweep, (w0, q0, d0, f0))
-    vt_s[:] = q_fin
+    y_fin, _, _ = jax.lax.fori_loop(
+        0, sweeps, jacobi_sweep, (y0, d0, f0))
+    vt_s[:] = y_fin[:, dpad : dpad + dp]
     # exact final eigenvalues: lam_k = (Q A Q^T)[k, k] = <W[k,:], Q[k,:]>
-    lam_s[:] = jnp.maximum(jnp.sum(w_fin * q_fin, axis=1), 0.0)  # (dp, P)
+    lam_s[:] = jnp.maximum(
+        jnp.sum(y_fin[:, :dpad] * y_fin[:, dpad:], axis=1), 0.0)  # (dp, P)
 
     # clamped = sum_k lam_k q_k^T q_k (rows of Q are eigenvectors)
     def recon(k, acc):
