@@ -167,6 +167,36 @@ def main() -> int:
     dev_in = [jnp.asarray(x) for x in (color, nb, histo, cov)]
     float(dev_in[0][0, 0, 0])  # force the transfers before timing
 
+    # --- accuracy probe: the committed golden scene through the SAME
+    # engine configuration the headline times. A Mosaic miscompile (or a
+    # kernel change never validated on hardware) would otherwise produce
+    # a plausible-but-wrong throughput number; `make verify-tpu` is the
+    # full gate, but the bench must not be able to lie on its own.
+    golden_rmse = None
+    golden_dir = os.path.join(HERE, "tests", "golden")
+    if os.path.isdir(golden_dir):
+        from bcd_tpu.core.monoscale import denoise_monoscale
+        from bcd_tpu.io import image_io
+
+        g_mean = image_io.load_multi_channels_exr(
+            os.path.join(golden_dir, "in_color.exr"))
+        g_hc = image_io.load_multi_channels_exr(
+            os.path.join(golden_dir, "in_hist.exr"))
+        g_histo, g_nb = image_io.separate_nb_of_samples_from_histogram(g_hc)
+        g_cov = image_io.load_multi_channels_exr(
+            os.path.join(golden_dir, "in_cov.exr"))
+        g_out = image_io.load_multi_channels_exr(
+            os.path.join(golden_dir, "out_mono_b6.exr"))
+        probe = denoise_monoscale(
+            g_mean, g_nb, g_histo, g_cov,
+            DenoiserParameters(search_window_radius=6), tile=args.tile)
+        golden_rmse = float(np.sqrt(np.mean(
+            (np.asarray(probe, np.float64) - g_out) ** 2)))
+        if golden_rmse > 1e-4:
+            print(f"WARNING: golden accuracy probe rmse {golden_rmse:.2e} "
+                  "exceeds the 1e-4 gate — the throughput below times a "
+                  "WRONG engine; run `make verify-tpu`", file=sys.stderr)
+
     def run():
         out = denoise_multiscale(
             *dev_in, params, nb_of_scales=args.scales, tile=args.tile,
@@ -186,6 +216,8 @@ def main() -> int:
         "unit": "MPix/s",
         "vs_baseline": round(mpix_s / cpu_mpix_s, 3),
         "run_spread": round(spread, 3),
+        **({"golden_rmse": round(golden_rmse, 8)}
+           if golden_rmse is not None else {}),
     }))
 
     if args.phases:
