@@ -360,7 +360,7 @@ def _masks_moments2_kernel(thr_ref, histo_ref, nb_ref, color_ref,
             bmat = band_ref[0] * m13blk[:, 0:1]
             for dxi in range(1, nd):
                 bmat = bmat + band_ref[dxi] * m13blk[:, dxi : dxi + 1]
-            base = cb0 + blk0 + dy * tp  # multiple of 8 (all terms)
+            base = pl.multiple_of(cb0 + blk0 + dy * tp, 8)  # all terms 8-aligned
             contrib = jax.lax.dot_general(
                 bmat, gsrc_s[pl.ds(base, blk)],
                 (((1,), (0,)), ((), ())),
@@ -513,7 +513,7 @@ def band_masks(tp: int, b: int, nrows: int, sign: int) -> np.ndarray:
 
 def _apply_scatter2_kernel(masks_ref, a2t_ref, small_ref, color_ref,
                            band_ref, out_ref,
-                           src_s, smf_s, wg_s, acc_s,
+                           src_s, smf_s, wg_s, acc_s, fp_s,
                            *, t, r, b):
     from bcd_tpu.ops.solve_filter_pallas import SMALL_CH, _mxu_t
 
@@ -577,7 +577,7 @@ def _apply_scatter2_kernel(masks_ref, a2t_ref, small_ref, color_ref,
             masks_ref[:] * smf_s[p0 : p0 + npix, d : d + 1])
         for blk0 in range(0, ncand, blk):
             # source rows for output rows [ca0 + blk0, +blk): z - dy*tp
-            base = p0 + ca0 + blk0 - dy * tp  # multiple of 8 (all terms)
+            base = pl.multiple_of(p0 + ca0 + blk0 - dy * tp, 8)  # 8-aligned
             wgT = _mxu_t(wg_s[pl.ds(base, blk)])  # (nd, blk)
             bmat = band_ref[0] * wgT[0:1]
             for dxi in range(1, nd):
@@ -614,17 +614,20 @@ def _apply_scatter2_kernel(masks_ref, a2t_ref, small_ref, color_ref,
         # field at y - q (Denoiser.cpp:434-470 semantics, one pass). The
         # output band [ca0 - qs_a, ca0 + ncand + qs_a) is 8-aligned on
         # both sides (qs_a = align8(patch reach)); rows outside it are
-        # zero.
+        # zero. The padded field lives in a scratch REF (a value-level
+        # jnp.pad of the 27-lane field hits a Mosaic concat limitation);
+        # the shifted reads are static ref slices.
         pa = 2 * qs_a
-        fpad = jnp.pad(f, ((pa, pa), (0, 0)))
-        cpad = jnp.pad(cnt2, ((pa, pa), (0, 0)))
+        fp_s[:] = jnp.zeros(fp_s.shape, f32)
+        fp_s[pa : pa + ncand, 0:d] = f
+        fp_s[pa : pa + ncand, d : d + 1] = cnt2
         nb_rows = ncand + 2 * qs_a
         acc = jnp.zeros((nb_rows, 3), f32)
         cacc = jnp.zeros((nb_rows, 1), f32)
         for qi, q in enumerate(_patch_offsets(r, tp)):
-            acc = acc + fpad[qs_a - q : qs_a - q + nb_rows,
+            acc = acc + fp_s[qs_a - q : qs_a - q + nb_rows,
                              3 * qi : 3 * qi + 3]
-            cacc = cacc + cpad[qs_a - q : qs_a - q + nb_rows, :]
+            cacc = cacc + fp_s[qs_a - q : qs_a - q + nb_rows, d : d + 1]
         out_ref[0 : ca0 - qs_a, :] = jnp.zeros((ca0 - qs_a, 4), f32)
         out_ref[ca0 - qs_a : ca0 - qs_a + nb_rows, 0:3] = acc
         out_ref[ca0 - qs_a : ca0 - qs_a + nb_rows, 3:4] = cacc
@@ -652,6 +655,7 @@ def apply_scatter2(masks, a2t_pm, small_pm, color_f,
     srows = npix + 2 * p0
     d = 3 * (2 * r + 1) ** 2
     nd = 2 * b + 1
+    qs_a = _align8(r * tp + r)
 
     kernel = functools.partial(_apply_scatter2_kernel, t=t, r=r, b=b)
 
@@ -681,6 +685,7 @@ def apply_scatter2(masks, a2t_pm, small_pm, color_f,
             pltpu.VMEM((srows, SMALL_CH), jnp.float32),   # smf_s
             pltpu.VMEM((srows, nd), jnp.float32),         # wg_s
             pltpu.VMEM((ncand, K4_SRC_CH), jnp.float32),  # acc_s
+            pltpu.VMEM((ncand + 4 * qs_a, d + 1), jnp.float32),  # fp_s
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
