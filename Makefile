@@ -26,8 +26,13 @@ verify-tpu:
 golden:
 	python scripts/make_golden.py
 
+# the slow suite: independent upstream-C++ oracle + realistic-shape
+# 8-device mesh tests (deselected from plain `make test` by default)
+verify: native
+	python -m pytest tests/ -q -m slow
+
 clean:
 	rm -f native/libbcd_cpu.so
 	rm -rf .pytest_cache __pycache__
 
-.PHONY: native test bench golden clean
+.PHONY: native test bench golden verify clean

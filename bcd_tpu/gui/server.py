@@ -94,7 +94,8 @@ class AppState:
             t0 = time.perf_counter()
 
             def cb(p):
-                self.progress = float(p)
+                with self.lock:
+                    self.progress = float(p)
 
             output = denoise_pipeline(
                 inputs["color"], inputs["nb"], inputs["histo"],

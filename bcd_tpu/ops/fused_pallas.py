@@ -618,7 +618,11 @@ def _apply_scatter2_kernel(masks_ref, a2t_ref, small_ref, color_ref,
         # jnp.pad of the 27-lane field hits a Mosaic concat limitation);
         # the shifted reads are static ref slices.
         pa = 2 * qs_a
-        fp_s[:] = jnp.zeros(fp_s.shape, f32)
+        # only the pad bands need clearing — rows [pa, pa+ncand) are
+        # overwritten in full just below (advisor round-3 finding)
+        fp_s[0:pa, :] = jnp.zeros((pa, fp_s.shape[1]), f32)
+        fp_s[pa + ncand :, :] = jnp.zeros(
+            (fp_s.shape[0] - pa - ncand, fp_s.shape[1]), f32)
         fp_s[pa : pa + ncand, 0:d] = f
         fp_s[pa : pa + ncand, d : d + 1] = cnt2
         nb_rows = ncand + 2 * qs_a

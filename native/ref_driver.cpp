@@ -23,16 +23,29 @@
 // pixel is denoised and the summed-estimate aggregation is order-independent
 // (Denoiser.cpp accumulates per-core images and reduces) — this is the
 // semantics bcd_tpu's exact path implements (see DESIGN.md section 1).
+//
+// Accumulator mode (round-3 verdict item 6): `ref_driver --acc in out`
+// streams a raw sample dump through the upstream SamplesAccumulator
+// (SamplesAccumulator.cpp:44-141) so bcd_tpu's device binning can be
+// diffed against the upstream ingest semantics, not just the denoiser.
+//   in.bin:  int32[4]  = w, h, spp, nbOfBins
+//            float32[2] = gamma, maxValue
+//            float32[h*w*spp*4] samples pixel-major (r, g, b, weight)
+//   out.bin: float32[h*w]   nbOfSamples,  float32[h*w*3] mean,
+//            float32[h*w*6] covariances,  float32[h*w*3*bins] histograms
 
 #include "Denoiser.h"
 #include "MultiscaleDenoiser.h"
 #include "DeepImage.h"
 #include "IDenoiser.h"
+#include "SamplesAccumulator.h"
 
 #include <cstdio>
 #include <cstdint>
 #include <cstdlib>
+#include <cstring>
 #include <memory>
+#include <vector>
 
 static void readf(FILE* f, void* p, size_t n)
 {
@@ -42,10 +55,52 @@ static void readf(FILE* f, void* p, size_t n)
     }
 }
 
+static int runAccumulator(const char* inPath, const char* outPath)
+{
+    FILE* f = std::fopen(inPath, "rb");
+    if (!f) { std::perror("ref_driver: open in.bin"); return 2; }
+    int32_t hdr[4];
+    float fhdr[2];
+    readf(f, hdr, sizeof hdr);
+    readf(f, fhdr, sizeof fhdr);
+    const int w = hdr[0], h = hdr[1], spp = hdr[2], bins = hdr[3];
+
+    bcd::HistogramParameters hp;
+    hp.m_nbOfBins = bins;
+    hp.m_gamma = fhdr[0];
+    hp.m_maxValue = fhdr[1];
+    bcd::SamplesAccumulator acc(w, h, hp);
+
+    std::vector<float> row(static_cast<size_t>(w) * spp * 4);
+    for (int line = 0; line < h; ++line) {
+        readf(f, row.data(), sizeof(float) * row.size());
+        for (int col = 0; col < w; ++col)
+            for (int s = 0; s < spp; ++s) {
+                const float* sm = &row[(static_cast<size_t>(col) * spp + s) * 4];
+                acc.addSample(line, col, sm[0], sm[1], sm[2], sm[3]);
+            }
+    }
+    std::fclose(f);
+
+    bcd::SamplesStatisticsImages stats = acc.extractSamplesStatistics();
+    FILE* g = std::fopen(outPath, "wb");
+    if (!g) { std::perror("ref_driver: open out.bin"); return 2; }
+    const bcd::DeepImage<float>* imgs[4] = {
+        &stats.m_nbOfSamplesImage, &stats.m_meanImage,
+        &stats.m_covarImage, &stats.m_histoImage };
+    for (const bcd::DeepImage<float>* im : imgs)
+        std::fwrite(im->getDataPtr(), sizeof(float), im->getSize(), g);
+    std::fclose(g);
+    return 0;
+}
+
 int main(int argc, char** argv)
 {
+    if (argc == 4 && std::strcmp(argv[1], "--acc") == 0)
+        return runAccumulator(argv[2], argv[3]);
     if (argc != 3) {
-        std::fprintf(stderr, "usage: ref_driver in.bin out.bin\n");
+        std::fprintf(stderr,
+                     "usage: ref_driver [--acc] in.bin out.bin\n");
         return 1;
     }
     FILE* f = std::fopen(argv[1], "rb");

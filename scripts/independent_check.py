@@ -139,6 +139,32 @@ def run_reference(exe, color, nb, histo, cov, params, scales=1, cores=1):
     return out.reshape(h, w, 3)
 
 
+def run_reference_accumulator(exe, samples, weights, nb_of_bins=20,
+                              gamma=2.2, max_value=2.5):
+    """Stream (H, W, S, 3) samples + (H, W, S) weights through the
+    UPSTREAM SamplesAccumulator (ref_driver --acc). Returns
+    (nb (H,W), mean (H,W,3), cov (H,W,6), histo (H,W,3*bins))."""
+    h, w, spp, _ = samples.shape
+    blob = struct.pack("<4i2f", w, h, spp, nb_of_bins, gamma, max_value)
+    packed = np.concatenate(
+        [np.asarray(samples, np.float32),
+         np.asarray(weights, np.float32)[..., None]], axis=-1)
+    with tempfile.TemporaryDirectory() as td:
+        inp = os.path.join(td, "in.bin")
+        outp = os.path.join(td, "out.bin")
+        with open(inp, "wb") as f:
+            f.write(blob)
+            f.write(np.ascontiguousarray(packed).tobytes())
+        subprocess.run([exe, "--acc", inp, outp], check=True, timeout=600)
+        out = np.fromfile(outp, dtype=np.float32)
+    n = h * w
+    nb = out[:n].reshape(h, w)
+    mean = out[n : 4 * n].reshape(h, w, 3)
+    cov = out[4 * n : 10 * n].reshape(h, w, 6)
+    histo = out[10 * n :].reshape(h, w, 3 * nb_of_bins)
+    return nb, mean, cov, histo
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="64x96")

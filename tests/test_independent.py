@@ -96,6 +96,44 @@ def test_parameter_variants_match_upstream_cpp(ref_exe, kwargs):
 
 
 @pytest.mark.slow
+def test_ingest_matches_upstream_accumulator(ref_exe):
+    """Round-3 verdict item 6: feed the SAME weighted sample stream through
+    bcd_tpu's device binning and the upstream SamplesAccumulator
+    (reference SamplesAccumulator.cpp:44-141 via ref_driver --acc) and diff
+    all four statistics images — pins the raw2bcd ingest semantics (gamma
+    companding, two-bin splat, saturation bins, bias-corrected covariance,
+    non-unit weights) against the upstream C++ itself."""
+    from independent_check import run_reference_accumulator
+    from make_test_scene import render_clean, sample_noisy
+    from bcd_tpu.ops.accumulator import accumulate_samples
+    from bcd_tpu.params import HistogramParameters
+
+    h, w, spp = 40, 56, 5
+    clean = render_clean(h, w)
+    samples = sample_noisy(clean, spp=spp, seed=13)
+    rng = np.random.default_rng(17)
+    weights = (0.5 + rng.random((h, w, spp))).astype(np.float32)
+
+    ref_nb, ref_mean, ref_cov, ref_histo = run_reference_accumulator(
+        ref_exe, samples, weights)
+    nb, mean, cov, histo = accumulate_samples(
+        samples, HistogramParameters(), weights=weights)
+
+    def rel_rms(a, b):
+        scale = float(np.sqrt(np.mean(np.asarray(b) ** 2)) + 1e-12)
+        return float(np.sqrt(np.mean((np.asarray(a) - b) ** 2))) / scale
+
+    errs = {
+        "nb": rel_rms(nb[..., 0], ref_nb),
+        "mean": rel_rms(mean, ref_mean),
+        "cov": rel_rms(cov, ref_cov),
+        "histo": rel_rms(histo, ref_histo),
+    }
+    bad = {k: v for k, v in errs.items() if v > 1e-5}
+    assert not bad, f"ingest diverges from upstream C++: {bad} (all {errs})"
+
+
+@pytest.mark.slow
 def test_accumulator_feeds_upstream_identically(ref_exe):
     """The statistics arrays our SamplesAccumulator produces are accepted
     verbatim by the upstream core (layout + conventions match): covered by
