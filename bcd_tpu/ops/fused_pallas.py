@@ -107,6 +107,24 @@ _SKIP = set(_os.environ.get("BCD_FUSED_SKIP", "").split(","))
 _DX_CHUNK = 7
 
 
+def _split3_bf16(src_s, d1_s, d2_s, d3_s, nrows, ch=512):
+    """Chunked 3-term bf16 split: src = d1 + d2 + d3 exactly (fp32's 24
+    mantissa bits = 3 x bf16's 8). Chunking bounds the kernel's value
+    temporaries (~3 x ch x CH-lane fp32 live at a time) — a whole-array
+    split materializes 2 full fp32 temps and blows the scoped-VMEM
+    stack. Chunks must be 8-row aligned."""
+    f32 = jnp.float32
+    for b0 in range(0, nrows, ch):
+        e = min(b0 + ch, nrows)
+        gs = src_s[b0:e]
+        g1 = gs.astype(jnp.bfloat16)
+        r1 = gs - g1.astype(f32)
+        g2 = r1.astype(jnp.bfloat16)
+        d1_s[b0:e] = g1
+        d2_s[b0:e] = g2
+        d3_s[b0:e] = (r1 - g2.astype(f32)).astype(jnp.bfloat16)
+
+
 def _patch_offsets(r: int, tps: int):
     return [(qy * tps + qx)
             for qy in range(-r, r + 1) for qx in range(-r, r + 1)]
@@ -183,7 +201,8 @@ K1_SRC_CH = 512
 def _masks_moments2_kernel(thr_ref, histo_ref, nb_ref, color_ref,
                            pixcov_ref, valid_ref, band_ref,
                            mask_ref, m2_ref, misc_ref,
-                           pc_s, gsrc_s, acc_s, dist_s, m13_s,
+                           gsrc_s, g1_s, g2_s, g3_s, acc_s, dist_s,
+                           m13_s,
                            *, t, r, b):
     h, tp, cb0, ncore, ch0, nchi = pm_geometry(t, r, b)
     npix = tp * tp
@@ -208,21 +227,31 @@ def _masks_moments2_kernel(thr_ref, histo_ref, nb_ref, color_ref,
         ci = jax.lax.broadcasted_iota(jnp.int32, (npix, K1_SRC_CH), 1)
         gsrc_s[:] = jnp.where(ci == dtri + d + 6 * npatch, 1.0, 0.0)
         if "gbuild" not in _SKIP:
-            pc_s[:] = jnp.zeros((npix, d), f32)
+            # Pc is built straight into its gsrc_s channel slot
+            # [dtri, dtri+d) — a separate aligned staging buffer would
+            # cost 2 MB of scoped VMEM the bf16 split planes need
             for qi, q in enumerate(_patch_offsets(r, tp)):
-                pc_s[qs : npix - qs, 3 * qi : 3 * qi + 3] = (
+                gsrc_s[qs : npix - qs,
+                       dtri + 3 * qi : dtri + 3 * qi + 3] = (
                     color_ref[qs + q : npix - qs + q, :])
                 gsrc_s[qs : npix - qs,
                        dtri + d + 6 * qi : dtri + d + 6 * qi + 6] = (
                     pixcov_ref[qs + q : npix - qs + q, :])
-            gsrc_s[:, dtri : dtri + d] = pc_s[:]
             # patch outer products, upper triangle only (M2 is symmetric):
             # G[z, tri(k, j)] = Pc[z,k] * Pc[z,j], j >= k
-            pc_all = pc_s[:]
+            pc_all = gsrc_s[:, dtri : dtri + d]
             for k in range(d):
                 tb = int(tri_base[k])
                 gsrc_s[:, tb : tb + d - k] = (
                     pc_all[:, k : k + 1] * pc_all[:, k:])
+        # 3-term bf16 split of the source rows: v = g1 + g2 + g3 exactly
+        # (fp32's 24 mantissa bits = 3 x bf16's 8). The banded dots below
+        # then run as THREE single-pass bf16 MXU dots instead of one
+        # 6-pass HIGHEST dot — exact for the same reason HIGHEST was
+        # (bmat entries are exactly 0/1 in bf16; each product 1.0 * g_i
+        # is exact in fp32; fp32 accumulation as before) at half the MXU
+        # passes.
+        _split3_bf16(gsrc_s, g1_s, g2_s, g3_s, npix)
         acc_s[:] = jnp.zeros((ncore, K1_SRC_CH), f32)
 
     thr = thr_ref[0, 0]
@@ -360,12 +389,14 @@ def _masks_moments2_kernel(thr_ref, histo_ref, nb_ref, color_ref,
             bmat = band_ref[0] * m13blk[:, 0:1]
             for dxi in range(1, nd):
                 bmat = bmat + band_ref[dxi] * m13blk[:, dxi : dxi + 1]
+            bmat16 = bmat.astype(jnp.bfloat16)  # 0/1: exact
             base = pl.multiple_of(cb0 + blk0 + dy * tp, 8)  # all terms 8-aligned
-            contrib = jax.lax.dot_general(
-                bmat, gsrc_s[pl.ds(base, blk)],
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=f32)
+            contrib = sum(
+                jax.lax.dot_general(
+                    bmat16, gk[pl.ds(base, blk)],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                for gk in (g1_s, g2_s, g3_s))
             acc_s[blk0 : blk0 + blk] = acc_s[blk0 : blk0 + blk] + contrib
 
     @pl.when(o == 2 * b)
@@ -457,8 +488,10 @@ def masks_moments2(histo_f, nb_f, color_f, pixcov_f, valid_f,
             jax.ShapeDtypeStruct((t * t, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((npix, d), jnp.float32),             # pc_s
             pltpu.VMEM((npix, K1_SRC_CH), jnp.float32),     # gsrc_s
+            pltpu.VMEM((npix, K1_SRC_CH), jnp.bfloat16),    # g1_s
+            pltpu.VMEM((npix, K1_SRC_CH), jnp.bfloat16),    # g2_s
+            pltpu.VMEM((npix, K1_SRC_CH), jnp.bfloat16),    # g3_s
             pltpu.VMEM((ncore, K1_SRC_CH), jnp.float32),    # acc_s
             pltpu.VMEM(((b + 1) * _align8((t + b) * tp + 24), nd),
                        jnp.float32),                        # dist_s
@@ -513,7 +546,8 @@ def band_masks(tp: int, b: int, nrows: int, sign: int) -> np.ndarray:
 
 def _apply_scatter2_kernel(masks_ref, a2t_ref, small_ref, color_ref,
                            band_ref, out_ref,
-                           src_s, smf_s, wg_s, acc_s, fp_s,
+                           src_s, smf_s, wg_s, acc_s,
+                           fp_s,
                            *, t, r, b):
     from bcd_tpu.ops.solve_filter_pallas import SMALL_CH, _mxu_t
 
@@ -540,8 +574,14 @@ def _apply_scatter2_kernel(masks_ref, a2t_ref, small_ref, color_ref,
         # the windows reach; the ones column is harmless there because the
         # band weights w are identically zero outside the core.
         smf_s[:] = jnp.zeros((srows, SMALL_CH), f32)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (srows, K4_SRC_CH), 1)
-        src_s[:] = jnp.where(ci == d * d + d, 1.0, 0.0)
+        # chunked fills: whole-array iota/zeros temporaries at srows x
+        # 768 are ~15 MB of scoped-VMEM stack each (the iota is built per
+        # chunk size — slicing a sublane-replicated value crashes
+        # Mosaic's layout pass)
+        for b0 in range(0, srows, 512):
+            e = min(b0 + 512, srows)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (e - b0, K4_SRC_CH), 1)
+            src_s[b0:e] = jnp.where(ci == d * d + d, 1.0, 0.0)
         for y in range(t):
             src = y * t
             dst = p0 + cb0 + y * tp + h
@@ -551,7 +591,9 @@ def _apply_scatter2_kernel(masks_ref, a2t_ref, small_ref, color_ref,
             smf_s[dst : dst + t, :] = small_ref[src : src + t, :]
         wg_s[0:p0, :] = jnp.zeros((p0, nd), f32)
         wg_s[p0 + npix :, :] = jnp.zeros((p0, nd), f32)
-        acc_s[:] = jnp.zeros((ncand, K4_SRC_CH), f32)
+        for b0 in range(0, ncand, 512):
+            e = min(b0 + 512, ncand)
+            acc_s[b0:e] = jnp.zeros((e - b0, K4_SRC_CH), f32)
 
     # the grid has nd+1 steps: steps [0, nd) accumulate, step nd emits.
     # Emitting in its OWN step keeps the accumulate windows out of the
@@ -578,10 +620,18 @@ def _apply_scatter2_kernel(masks_ref, a2t_ref, small_ref, color_ref,
         for blk0 in range(0, ncand, blk):
             # source rows for output rows [ca0 + blk0, +blk): z - dy*tp
             base = pl.multiple_of(p0 + ca0 + blk0 - dy * tp, 8)  # 8-aligned
-            wgT = _mxu_t(wg_s[pl.ds(base, blk)])  # (nd, blk)
+            # wg is 0/1, so a DEFAULT-precision (single-pass) permutation
+            # dot transposes it exactly
+            wgT = _mxu_t(wg_s[pl.ds(base, blk)],
+                         precision=jax.lax.Precision.DEFAULT)  # (nd, blk)
             bmat = band_ref[0] * wgT[0:1]
             for dxi in range(1, nd):
                 bmat = bmat + band_ref[dxi] * wgT[dxi : dxi + 1]
+            # HIGHEST here (not the bf16x3 split K1 uses): K4's three
+            # split planes cost 22.5 MB of scoped VMEM the kernel does
+            # not have at tile=48 (the flat padded-row source grid is
+            # srows=4896 rows); a compact-source redesign is the way to
+            # afford it, not a bigger budget
             contrib = jax.lax.dot_general(
                 bmat, src_s[pl.ds(base, blk)],
                 (((1,), (0,)), ((), ())),

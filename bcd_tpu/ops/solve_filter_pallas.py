@@ -90,7 +90,7 @@ def _eye3(d: int):
     return ri3, ci3, (ri3 == ci3).astype(jnp.float32)
 
 
-def _jacobi_clamp_psd(x, d, dp, sweeps, vt_s, lam_s):
+def _jacobi_clamp_psd(x, d, dp, sweeps, y0_s, y1_s, vt_s, lam_s):
     """Eigenvalue-clamp a symmetric (d, d, P) value at zero (the reference's
     clampNegativeEigenValues, DenoisingUnit.cpp:606-630) via fixed-schedule
     Brent-Luk Jacobi. Uses vt_s (dp, dp, P) / lam_s (dp, P) scratch refs;
@@ -131,39 +131,35 @@ def _jacobi_clamp_psd(x, d, dp, sweeps, vt_s, lam_s):
     the full aligned widths.
 
     The Brent-Luk re-seating [0, h, 1..h-2, h+1..2h-1, h-1] is FUSED into
-    the rotation concats (axis-0 = full vreg planes, no shuffles)."""
+    the rotation WRITES: each rotated piece is written directly at its
+    re-seated plane offset in the other ping-pong ref (y0_s <-> y1_s), so
+    a round costs one FMA + one write per element with NO concat copy and
+    no loop-carried (dp, 2*dpad, P) value (the round-4 rewrite: the old
+    concat-and-carry form measured ~2x this loop's FMA floor e2e). f and
+    dall ride along as (dp, 1, P) PLANE-shaped values so their re-seating
+    concats are plane-granular too (as 2-D (dp, P) values they concat on
+    the sublane axis at misaligned offsets — a relayout every round)."""
     P = x.shape[-1]
     f32 = jnp.float32
     half = dp // 2
+    assert (dp - 1) % 2 == 1, dp  # dp even: 2*half rows, dp-1 odd rounds
     dpad = -(-dp // 8) * 8
     ri3p = jax.lax.broadcasted_iota(jnp.int32, (dp, dpad, 1), 0)
     ci3p = jax.lax.broadcasted_iota(jnp.int32, (dp, dpad, 1), 1)
     eye3p = (ri3p == ci3p).astype(f32)
 
     w0 = jnp.pad(x, ((0, dp - d), (0, dpad - d), (0, 0)))  # W = Q A
-    q0 = jnp.broadcast_to(eye3p, (dp, dpad, P))  # Q = I
-    y0 = jnp.concatenate([w0, q0], axis=1)  # (dp, 2*dpad, P)
+    y0_s[:, 0:dpad] = w0
+    y0_s[:, dpad:] = jnp.broadcast_to(eye3p, (dp, dpad, P))  # Q = I
     d0 = jnp.sum(w0 * eye3p, axis=1)  # (dp, P)
-    f0 = jnp.ones((dp, P), f32)  # row scales (shared by W and Q)
 
-    # permute0 row sources, expressed per rotated-half: rotated row i < half
-    # is U[i] (= top + alpha*bot), rotated row half+i is D[i]; the
-    # re-seating is then 5 static slices.
-    up_dn = [("u", 0, 1), ("d", 0, 1), ("u", 1, half - 1),
-             ("d", 1, half), ("u", half - 1, half)]
-
-    def reseat2(top_rows, bot_rows):
-        return jnp.concatenate(
-            [top_rows[0:1], bot_rows[0:1], top_rows[1 : half - 1],
-             bot_rows[1:half], top_rows[half - 1 : half]], axis=0)
-
-    def jacobi_round(_, carry):
-        y, dall, f = carry
+    def round_body(yin, yout, dall, f):
         # true apq[i] = (Q A Q^T)[i, i+half]
         #             = f_i f_{i+half} sum_j W~[i, j] Q~[i+half, j]
         # (pad columns are zero in both halves, so full-width sums are
-        # exact)
-        s_t = jnp.sum(y[:half, :dpad] * y[half:, dpad:], axis=1)  # (half, P)
+        # exact). The per-pair chain runs on 2-D (half, P) values — dense
+        # sublane packing, 7x fewer vregs than (half, 1, P) planes.
+        s_t = jnp.sum(yin[:half, :dpad] * yin[half:, dpad:], axis=1)
         fp, fq = f[:half], f[half:]
         apq = s_t * (fp * fq)
         app, aqq = dall[:half], dall[half:]
@@ -176,41 +172,49 @@ def _jacobi_clamp_psd(x, d, dp, sweeps, vt_s, lam_s):
         c = _rsqrt_exact(1.0 + t * t)  # (half, P)
         s = t * c
         inv_cf = 1.0 / (c * fp * fq)
-        alpha = jnp.where(small, 0.0, -s * fq * fq * inv_cf)  # -s fq/(c fp)
-        beta = jnp.where(small, 0.0, s * fp * fp * inv_cf)  # s fp/(c fq)
+        an = jnp.where(small, 0.0, -s * fq * fq * inv_cf)[:, None, :]
+        bn = jnp.where(small, 0.0, s * fp * fp * inv_cf)[:, None, :]
 
-        def rot_perm0(y):
-            top, bot = y[:half], y[half:]
-            an, bn = alpha[:, None, :], beta[:, None, :]
-            pieces = []
-            for kind, p0, p1 in up_dn:
-                if kind == "u":
-                    pieces.append(top[p0:p1] + an[p0:p1] * bot[p0:p1])
-                else:
-                    pieces.append(bn[p0:p1] * top[p0:p1] + bot[p0:p1])
-            return jnp.concatenate(pieces, axis=0)
+        # U[i] = top[i] + alpha[i] bot[i], D[i] = beta[i] top[i] + bot[i];
+        # re-seated layout [U0, D0, U1..U(h-2), D1..D(h-1), U(h-1)]
+        # written straight into yout (5 static plane slices):
+        top, bot = yin[:half], yin[half:]
+        yout[0:1] = top[0:1] + an[0:1] * bot[0:1]
+        yout[1:2] = bn[0:1] * top[0:1] + bot[0:1]
+        yout[2:half] = top[1 : half - 1] + an[1 : half - 1] * bot[1 : half - 1]
+        yout[half : dp - 1] = bn[1:half] * top[1:half] + bot[1:half]
+        yout[dp - 1 : dp] = (top[half - 1 : half]
+                             + an[half - 1 : half] * bot[half - 1 : half])
 
-        y = rot_perm0(y)  # rotates W and Q in one pass
-        f = reseat2(c * fp, c * fq)
-        app2 = app - t * apq
-        aqq2 = aqq + t * apq
-        dall = reseat2(app2, aqq2)
-        return y, dall, f
+        def reseat(u, dn):
+            return jnp.concatenate(
+                [u[0:1], dn[0:1], u[1 : half - 1], dn[1:half],
+                 u[half - 1 : half]], axis=0)
 
-    def jacobi_sweep(_, carry):
-        y, dall, f = jax.lax.fori_loop(
-            0, dp - 1, jacobi_round, carry)
+        return (reseat(app - t * apq, aqq + t * apq),
+                reseat(c * fp, c * fq))
+
+    def double_round(_, carry):
+        dall, f = carry
+        dall, f = round_body(y0_s, y1_s, dall, f)
+        dall, f = round_body(y1_s, y0_s, dall, f)
+        return dall, f
+
+    def jacobi_sweep(_, dall):
+        dall, f = jax.lax.fori_loop(
+            0, (dp - 1) // 2, double_round,
+            (dall, jnp.ones((dp, P), f32)))
+        dall, f = round_body(y0_s, y1_s, dall, f)  # final (odd) round
         # renormalize: fold the scales back into the rows so f stays in
-        # fp32 range across sweeps (one plane-scaling per sweep — noise
-        # next to the (dp-1) rotation rounds it guards)
-        return y * f[:, None, :], dall, jnp.ones((dp, P), f32)
+        # fp32 range across sweeps (doubles as the ping-pong copy-back)
+        y0_s[:] = y1_s[:] * f[:, None, :]
+        return dall
 
-    y_fin, _, _ = jax.lax.fori_loop(
-        0, sweeps, jacobi_sweep, (y0, d0, f0))
-    vt_s[:] = y_fin[:, dpad : dpad + dp]
+    jax.lax.fori_loop(0, sweeps, jacobi_sweep, d0)
+    vt_s[:] = y0_s[:, dpad : dpad + dp]
     # exact final eigenvalues: lam_k = (Q A Q^T)[k, k] = <W[k,:], Q[k,:]>
     lam_s[:] = jnp.maximum(
-        jnp.sum(y_fin[:, :dpad] * y_fin[:, dpad:], axis=1), 0.0)  # (dp, P)
+        jnp.sum(y0_s[:, 0:dpad] * y0_s[:, dpad:], axis=1), 0.0)  # (dp, P)
 
     # clamped = sum_k lam_k q_k^T q_k (rows of Q are eigenvectors)
     def recon(k, acc):
@@ -368,7 +372,7 @@ def _blockdiag_noise(read_channel, d, npx, P):
 
 def _solve_filter_kernel(c_ref, mask_ref, noise_ref, n_ref, m_ref, eps_ref,
                          field_ref,
-                         m2_s, a_s, vt_s, lam_s, lt_s, y_s, rhs_s, t2t_s,
+                         m2_s, a_s, vt_s, lam_s, y0_s, y1_s, lt_s, y_s, rhs_s, t2t_s,
                          work_s, inv_s, bd_s, a1t_s,
                          *, n_offsets, d, npx, sweeps):
     dp = d + 1 if d % 2 else d  # padded (even) size for the pairing schedule
@@ -400,7 +404,8 @@ def _solve_filter_kernel(c_ref, mask_ref, noise_ref, n_ref, m_ref, eps_ref,
         lambda idx: noise_ref[pl.ds(idx, 1)], d, npx, P)
     bd = bd_s[:]
 
-    clamped = _jacobi_clamp_psd(cemp - bd, d, dp, sweeps, vt_s, lam_s)
+    clamped = _jacobi_clamp_psd(
+        cemp - bd, d, dp, sweeps, y0_s, y1_s, vt_s, lam_s)
 
     spd_inverse = _make_spd_inverse(a_s, rhs_s, lt_s, y_s, d, eps)
     xty = _make_xty(d, P)
@@ -453,6 +458,7 @@ def solve_filter(C_t, mask_t, noise_t, n_t, m_t, min_eigen,
     n_offsets, d, p_total = C_t.shape
     assert p_total % LANES == 0, p_total
     dp = d + 1 if d % 2 else d
+    dpad = -(-dp // 8) * 8
     grid = (p_total // LANES,)
 
     kernel = functools.partial(
@@ -470,6 +476,8 @@ def solve_filter(C_t, mask_t, noise_t, n_t, m_t, min_eigen,
         pltpu.VMEM((d, d, LANES), jnp.float32),    # a_s (cholesky working)
         pltpu.VMEM((dp, dp, LANES), jnp.float32),  # vt_s
         pltpu.VMEM((dp, LANES), jnp.float32),      # lam_s
+        pltpu.VMEM((dp, 2 * dpad, LANES), jnp.float32),  # y0_s
+        pltpu.VMEM((dp, 2 * dpad, LANES), jnp.float32),  # y1_s
         pltpu.VMEM((d, d, LANES), jnp.float32),    # lt_s
         pltpu.VMEM((d, d, LANES), jnp.float32),    # y_s
         pltpu.VMEM((d, d, LANES), jnp.float32),    # rhs_s
@@ -500,7 +508,7 @@ def solve_filter(C_t, mask_t, noise_t, n_t, m_t, min_eigen,
 
 
 def _two_step_solve(m2, msum, nov_read, n, eps,
-                    a_s, vt_s, lam_s, lt_s, rhs_s, t2t_s,
+                    a_s, vt_s, lam_s, y0_s, y1_s, lt_s, rhs_s, t2t_s,
                     work_s, bd_s, a1t_s, h_s, m_s,
                     *, d, npx, sweeps):
     """Shared math core of the moment-form solve (values in, values out).
@@ -512,6 +520,8 @@ def _two_step_solve(m2, msum, nov_read, n, eps,
     Returns (a2t (d, d, P) with a2t[k, j] = A2[j, k], b2 (1, d, P),
     m (d, P) the masked mean). Scratch refs as in the callers.
     """
+    from bcd_tpu.ops.fused_pallas import _SKIP
+
     dp = d + 1 if d % 2 else d
     P = n.shape[-1]
     f32 = jnp.float32
@@ -524,14 +534,26 @@ def _two_step_solve(m2, msum, nov_read, n, eps,
     cemp = (m2 - n[None] * m[:, None, :] * m[None, :, :]) / nm1[None]
     work_s[:] = cemp  # keep Cemp for step 2
 
-    bd_s[:] = _blockdiag_noise(
-        lambda idx: nov_read(idx) * inv_n, d, npx, P)
+    if "k2bd" in _SKIP:  # e2e bisect: identity-ish noise blocks
+        bd_s[:] = jnp.broadcast_to(eye3, (d, d, P)) * 1e-3
+    else:
+        bd_s[:] = _blockdiag_noise(
+            lambda idx: nov_read(idx) * inv_n, d, npx, P)
     bd = bd_s[:]
 
-    clamped = _jacobi_clamp_psd(cemp - bd, d, dp, sweeps, vt_s, lam_s)
+    if "k2jac" in _SKIP:  # e2e bisect: no eigenvalue clamp
+        clamped = cemp - bd
+    else:
+        clamped = _jacobi_clamp_psd(
+            cemp - bd, d, dp, sweeps, y0_s, y1_s, vt_s, lam_s)
 
     spd_solve = _make_spd_solve(a_s, rhs_s, lt_s, d, eps)
+    if "k2chol" in _SKIP:  # e2e bisect: pass-through solves
+        spd_solve = lambda mat, rhs_val: rhs_s.__setitem__(  # noqa: E731
+            slice(None), rhs_val)
     xty = _make_xty(d, P)
+    if "k2xty" in _SKIP:  # e2e bisect: pass-through products
+        xty = lambda x_ref_like, y_ref_like: y_ref_like[:]  # noqa: E731
 
     # step 1: solve (clamped + BD + eps I) X = BD => X = inv1 BD;
     # A1^T = I - X (one fewer O(d^3) pass than inverse-then-product)
@@ -560,13 +582,13 @@ def _two_step_solve(m2, msum, nov_read, n, eps,
 
 def _solve_matrices_kernel(m2_ref, msum_ref, nov_ref, n_ref, eps_ref,
                            a2t_ref, b2_ref,
-                           a_s, vt_s, lam_s, lt_s, rhs_s, t2t_s,
+                           a_s, vt_s, lam_s, y0_s, y1_s, lt_s, rhs_s, t2t_s,
                            work_s, bd_s, a1t_s, h_s, m_s,
                            *, d, npx, sweeps, lanes):
     a2t, b2, _ = _two_step_solve(
         m2_ref[:], msum_ref[:], lambda idx: nov_ref[pl.ds(idx, 1)],
         n_ref[:], eps_ref[0, 0],
-        a_s, vt_s, lam_s, lt_s, rhs_s, t2t_s, work_s, bd_s, a1t_s, h_s,
+        a_s, vt_s, lam_s, y0_s, y1_s, lt_s, rhs_s, t2t_s, work_s, bd_s, a1t_s, h_s,
         m_s, d=d, npx=npx, sweeps=sweeps)
     a2t_ref[:] = a2t
     b2_ref[:] = b2
@@ -592,6 +614,7 @@ def solve_matrices(m2_t, msum_t, nov_t, n_t, min_eigen,
     p_total = m2_t.shape[-1]
     assert p_total % lanes == 0, (p_total, lanes)
     dp = d + 1 if d % 2 else d
+    dpad = -(-dp // 8) * 8
     grid = (p_total // lanes,)
 
     kernel = functools.partial(
@@ -608,6 +631,8 @@ def solve_matrices(m2_t, msum_t, nov_t, n_t, min_eigen,
         dd(),                                      # a_s (cholesky working)
         pltpu.VMEM((dp, dp, lanes), jnp.float32),  # vt_s
         pltpu.VMEM((dp, lanes), jnp.float32),      # lam_s
+        pltpu.VMEM((dp, 2 * dpad, lanes), jnp.float32),  # y0_s
+        pltpu.VMEM((dp, 2 * dpad, lanes), jnp.float32),  # y1_s
         dd(),                                      # lt_s
         dd(),                                      # rhs_s (solve RHS/X)
         dd(),                                      # t2t_s
@@ -642,20 +667,22 @@ def solve_matrices(m2_t, msum_t, nov_t, n_t, min_eigen,
     )(m2_t, msum_t, nov_t, n_t, eps)
 
 
-def _mxu_t(x):
+def _mxu_t(x, precision=jax.lax.Precision.HIGHEST):
     """Transpose a 2-D value on the MXU: X^T = dot(I_b, X^T-form) via a
     dim1 x dim1 contraction against an in-kernel identity. BIT-EXACT for
     fp32 at precision=HIGHEST (permutation-matrix dots: each output is
     1.0 * v with the bf16x3 split of v reconstructing exactly — verified
     on hardware, scripts/probe_transpose.py) and ~free next to the
-    pallas I/O (the probe's no-op I/O baseline times the same)."""
+    pallas I/O (the probe's no-op I/O baseline times the same). Callers
+    transposing 0/1-valued data may pass precision=DEFAULT (a single
+    bf16 pass is already exact for 0/1)."""
     nb_ = x.shape[1]
     ri = jax.lax.broadcasted_iota(jnp.int32, (nb_, nb_), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (nb_, nb_), 1)
     eye = (ri == ci).astype(jnp.float32)
     return jax.lax.dot_general(
         eye, x, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
         preferred_element_type=jnp.float32)
 
 
@@ -672,7 +699,7 @@ SMALL_CH = 64
 
 def _solve_matrices_pm_kernel(expand_ref, m2_ref, misc_ref, eps_ref,
                               a2t_ref, small_ref,
-                              a_s, vt_s, lam_s, lt_s, rhs_s, t2t_s,
+                              a_s, vt_s, lam_s, y0_s, y1_s, lt_s, rhs_s, t2t_s,
                               work_s, bd_s, a1t_s, h_s, m_s, nov_s, sm_s,
                               *, d, npx, sweeps):
     """Pixel-major K2: moments arrive as (128, dtri)/(128, 128) pixel rows
@@ -707,8 +734,8 @@ def _solve_matrices_pm_kernel(expand_ref, m2_ref, misc_ref, eps_ref,
 
     a2t, b2, m = _two_step_solve(
         m2_t, msum, lambda idx: nov_s[pl.ds(idx, 1)], n, eps,
-        a_s, vt_s, lam_s, lt_s, rhs_s, t2t_s, work_s, bd_s, a1t_s, h_s,
-        m_s, d=d, npx=npx, sweeps=sweeps)
+        a_s, vt_s, lam_s, y0_s, y1_s, lt_s, rhs_s, t2t_s, work_s, bd_s,
+        a1t_s, h_s, m_s, d=d, npx=npx, sweeps=sweeps)
 
     # --- gates (DenoisingUnit.cpp:182-191): main path needs n >= d+1 -----
     gate = jnp.where((n >= d + 1) & (cv > 0.0), 1.0, 0.0)  # (1, P)
@@ -744,6 +771,7 @@ def solve_matrices_pm(m2_pm, misc_pm, min_eigen,
     assert d * (d + 1) // 2 == dtri, dtri
     assert p_total % LANES == 0, p_total
     dp = d + 1 if d % 2 else d
+    dpad = -(-dp // 8) * 8
     _, tri_expand, _ = tri_geometry(d)
     expand = np.zeros((d * d, dtri), np.float32)
     expand[np.arange(d * d), tri_expand] = 1.0
@@ -757,6 +785,8 @@ def solve_matrices_pm(m2_pm, misc_pm, min_eigen,
         dd(),                                      # a_s (cholesky working)
         pltpu.VMEM((dp, dp, LANES), jnp.float32),  # vt_s
         pltpu.VMEM((dp, LANES), jnp.float32),      # lam_s
+        pltpu.VMEM((dp, 2 * dpad, LANES), jnp.float32),  # y0_s
+        pltpu.VMEM((dp, 2 * dpad, LANES), jnp.float32),  # y1_s
         dd(),                                      # lt_s
         dd(),                                      # rhs_s (solve RHS/X)
         dd(),                                      # t2t_s
