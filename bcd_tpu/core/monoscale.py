@@ -74,6 +74,25 @@ HIGHEST = jax.lax.Precision.HIGHEST
 _progress_consumer: Optional[Callable[[float], None]] = None
 
 
+def _injit_callbacks_supported() -> bool:
+    """Whether jax.debug.callback inside jit is safe on this backend.
+
+    On experimental tunneled platforms (axon remote TPU) XLA compilation
+    of a module containing host callbacks HANGS indefinitely — measured: a
+    64x64 engine variant with one debug.callback per tile chunk never
+    finished compiling in 25 minutes, while the callback-free twin
+    compiled in ~30 s. Only first-class backends get in-jit per-chunk
+    progress; everything else falls back to host-side progress at scale
+    boundaries (multiscale's 4^s mapper still reports per-scale steps).
+    Override with BCD_INJIT_PROGRESS=0/1 for testing."""
+    import os
+
+    forced = os.environ.get("BCD_INJIT_PROGRESS")
+    if forced is not None:
+        return forced not in ("0", "false")
+    return jax.default_backend() in ("cpu", "tpu", "gpu", "cuda", "rocm")
+
+
 @contextlib.contextmanager
 def progress_scope(callback: Callable[[float], None]):
     """Route in-scale progress fractions (monotone, in [0, 1]) to
@@ -699,10 +718,12 @@ def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
     blocking readback per scale) and the reference's DenoisingStatistics
     counters (DenoisingUnit.cpp:56-69: managed pixels, main-path solves,
     mean-patch fallbacks) are accumulated on device and recorded."""
+    in_jit_progress = (progress_callback is not None
+                       and _injit_callbacks_supported())
     cfg = auto_engine_config(
         params, tile=tile, use_pallas=use_pallas, tile_batch=tile_batch,
         use_fused=use_fused, skip_stride=skip_stride,
-        report_progress=progress_callback is not None,
+        report_progress=in_jit_progress,
         collect_stats=stats is not None,
     )
     args = (
@@ -731,6 +752,13 @@ def denoise_monoscale(color, nb, histo, cov, params: DenoiserParameters,
     with ctx:
         if progress_callback is None:
             out = run()
+        elif not in_jit_progress:
+            # host-side fallback (unsupported-callback platforms): one
+            # 0 -> 1 step per scale, synced so 1.0 means the work is done
+            progress_callback(0.0)
+            out = run()
+            float(jnp.sum(out))
+            progress_callback(1.0)
         else:
             with progress_scope(progress_callback):
                 out = run()

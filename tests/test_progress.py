@@ -37,6 +37,23 @@ def test_monoscale_progress_does_not_change_output(rng):
     np.testing.assert_array_equal(base, withp)
 
 
+def test_progress_fallback_without_injit_callbacks(rng, monkeypatch):
+    """On platforms where in-jit debug.callback hangs XLA compilation
+    (the axon TPU tunnel — see _injit_callbacks_supported), progress must
+    degrade to host-side scale-boundary steps, never to silence."""
+    monkeypatch.setenv("BCD_INJIT_PROGRESS", "0")
+    _, st = make_stats(rng, h=32, w=32, spp=8)
+    seen = []
+    denoise_multiscale(
+        st["mean"], st["nb_of_samples"], st["histo"], st["cov"], _params(),
+        nb_of_scales=2, tile=8, progress_callback=seen.append)
+    assert seen == sorted(seen)
+    assert seen[0] == 0.0 and seen[-1] == 1.0
+    # one 0 -> 1 step per scale through the 4^s mapper: the coarse scale's
+    # completion (0.2) must be reported before the fine scale runs
+    assert 0.2 in seen, seen
+
+
 def test_multiscale_progress_spans_scales(rng):
     _, st = make_stats(rng, h=32, w=32, spp=8)
     seen = []
