@@ -113,6 +113,7 @@ def _split3_bf16(src_s, d1_s, d2_s, d3_s, nrows, ch=512):
     temporaries (~3 x ch x CH-lane fp32 live at a time) — a whole-array
     split materializes 2 full fp32 temps and blows the scoped-VMEM
     stack. Chunks must be 8-row aligned."""
+    assert ch % 8 == 0 and nrows % 8 == 0, (nrows, ch)
     f32 = jnp.float32
     for b0 in range(0, nrows, ch):
         e = min(b0 + ch, nrows)
@@ -694,7 +695,11 @@ def apply_scatter2(masks, a2t_pm, small_pm, color_f,
                    t: int, r: int, b: int, interpret: bool = False):
     """K4 v2: correlation-form filter application + patch aggregation.
 
-    masks:    (2b+1, tp^2, 2b+1) from ``masks_moments2``
+    masks:    (2b+1, tp^2, 2b+1) from ``masks_moments2``; entries MUST be
+              exactly 0/1 (so must small_pm's gate column) — the kernel's
+              DEFAULT-precision MXU transpose of masks*gate is only exact
+              for 0/1 values; soft/weighted masks would silently lose
+              mantissa bits
     a2t_pm:   (t^2, d*d) A2^T maps (k-major), compact pixel-major rows
     small_pm: (t^2, 64) packed [b2, gate, fb*mean-patch, fb] rows
     color_f:  (tp^2, 3) color slab (same as K1)

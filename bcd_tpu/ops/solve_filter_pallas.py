@@ -77,13 +77,6 @@ def _rsqrt_exact(x):
     return r * (1.5 - 0.5 * x * r * r)
 
 
-def _perm_slices(dp: int):
-    """Brent-Luk re-seating permutation as 5 static slice ranges:
-    new = concat(x[0:1], x[h:h+1], x[1:h-1], x[h+1:2h], x[h-1:h])."""
-    h = dp // 2
-    return [(0, 1), (h, h + 1), (1, h - 1), (h + 1, 2 * h), (h - 1, h)]
-
-
 def _eye3(d: int):
     ri3 = jax.lax.broadcasted_iota(jnp.int32, (d, d, 1), 0)
     ci3 = jax.lax.broadcasted_iota(jnp.int32, (d, d, 1), 1)
@@ -142,7 +135,9 @@ def _jacobi_clamp_psd(x, d, dp, sweeps, y0_s, y1_s, vt_s, lam_s):
     P = x.shape[-1]
     f32 = jnp.float32
     half = dp // 2
-    assert (dp - 1) % 2 == 1, dp  # dp even: 2*half rows, dp-1 odd rounds
+    # dp even (2*half rows, dp-1 odd rounds); dp >= 4 so round_body's fixed
+    # write layout never aliases row D0 (half == 1 would)
+    assert dp % 2 == 0 and dp >= 4, dp
     dpad = -(-dp // 8) * 8
     ri3p = jax.lax.broadcasted_iota(jnp.int32, (dp, dpad, 1), 0)
     ci3p = jax.lax.broadcasted_iota(jnp.int32, (dp, dpad, 1), 1)
