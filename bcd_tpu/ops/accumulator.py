@@ -17,7 +17,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from bcd_tpu.params import HistogramParameters
 
@@ -94,33 +93,26 @@ def _chunk_sums(samples, weights, nb_of_bins, gamma, max_value):
     )
     floor_w = 1.0 - ceil_w
 
-    # Accumulate the two per-sample weights over the (static) bin axis ONE
-    # SAMPLE AT A TIME: a lax.scan over S keeps the live footprint at
-    # (H, W, 3, nbins) — the old whole-tensor one-hot materialized a
-    # (H, W, S, 3, nbins) contribution tensor (2 GB for a 512x1024x16
-    # chunk), which made the TPU ingest LOSE to the reference's
-    # single-core addSample loop (round-4 verdict, weak #2).
-    bins = jnp.arange(nb_of_bins, dtype=jnp.int32)  # (nbins,)
+    # Histogram splat as nbins independent masked reductions over the
+    # sample axis: histo[..., b] = sum_s (w*floor_w)[fb == b]
+    #                            + sum_s (w*ceil_w)[fb == b-1].
+    # Each output column is ONE fused select+reduce pass over the
+    # (H, W, S, 3) chunk — no (H, W, S, 3, nbins) one-hot tensor (the
+    # round-3 design, 2 GB live) and no sequential lax.scan over samples
+    # (the first round-5 fix, which serialized 2*S full-image passes over
+    # the (H, W, 3, nbins) carry). nbins is a small static constant (20),
+    # so the unrolled loop stays one compiled XLA fusion group.
     wf = w[..., None] * floor_w  # (H, W, S, 3)
     wcl = w[..., None] * ceil_w
-
-    def splat_one(acc, per_sample):
-        fb_s, wf_s, wc_s = per_sample  # (H, W, 3) each
-        fbx = fb_s[..., None]
-        contrib = (
-            (fbx == bins) * wf_s[..., None] + (fbx + 1 == bins) * wc_s[..., None]
-        )
-        return acc + contrib, None
-
-    histo, _ = jax.lax.scan(
-        splat_one,
-        jnp.zeros(samples.shape[:2] + (3, nb_of_bins), jnp.float32),
-        (
-            jnp.moveaxis(floor_bin, 2, 0),
-            jnp.moveaxis(wf, 2, 0),
-            jnp.moveaxis(wcl, 2, 0),
-        ),
-    )
+    zero = jnp.zeros((), jnp.float32)
+    cols = []
+    for b in range(nb_of_bins):
+        contrib = jnp.where(floor_bin == b, wf, zero)
+        if b >= 1:
+            # ceil weight lands one bin above its floor bin
+            contrib = contrib + jnp.where(floor_bin == b - 1, wcl, zero)
+        cols.append(jnp.sum(contrib, axis=2))  # (H, W, 3)
+    histo = jnp.stack(cols, axis=-1)  # (H, W, 3, nbins)
     return nb, w2, wc, cov, histo
 
 
@@ -206,8 +198,17 @@ class SamplesAccumulator:
             self._state = _add_state(self._state, padded)
 
     def get_samples_statistics(self):
-        """Copy semantics (reference getSamplesStatistics)."""
-        return tuple(np.asarray(x) for x in _finalize(self._state))
+        """Copy semantics (reference getSamplesStatistics).
+
+        Returns DEVICE arrays: the production consumer (the denoiser) runs
+        on the same device, so forcing a host copy here would serialize a
+        ~146 MB download (for 512x1024, 20 bins) into every ingest. The
+        reference returns host memory only because its accelerator IS the
+        host (SamplesAccumulator.cpp:144-154). Callers that need host
+        copies (file writers) call ``np.asarray`` at the IO edge; jax
+        arrays duck-type as numpy everywhere else.
+        """
+        return _finalize(self._state)
 
     def extract_samples_statistics(self):
         """Move semantics: invalidates the accumulator (reference
@@ -231,4 +232,4 @@ def accumulate_samples(samples, histogram_params: Optional[HistogramParameters] 
         jnp.float32(params.gamma), jnp.float32(params.max_value),
     )
     state = AccumulatorState(*sums)
-    return tuple(np.asarray(x) for x in _finalize(state))
+    return _finalize(state)  # device arrays; np.asarray at the IO edge

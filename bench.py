@@ -331,7 +331,7 @@ def run_extra_configs(height, width, params, args, dev_in, backend):
         acc = SamplesAccumulator(ih, iw, HistogramParameters())
         acc.add_samples(samples)
         nb_img, _, _, _ = acc.extract_samples_statistics()
-        float(np.asarray(nb_img)[0, 0])
+        float(nb_img[0, 0, 0])  # scalar readback syncs the device compute
 
     t, spread = time_fn_guarded(run_ingest, iters=3)
     emit(f"raw2bcd streaming ingest ({ih}x{iw} @ {spp} spp) on {backend}",
